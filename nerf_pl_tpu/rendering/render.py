@@ -1,0 +1,228 @@
+"""Volume rendering: stratified sampling, quadrature, hierarchical resampling.
+
+Functional re-design of the reference rendering engine
+(models/rendering.py:58-244). Differences that make it TPU-native:
+
+  * `render_rays` is a pure function of (params, rays, key, static config) —
+    one trace, one XLA program; randomness (depth jitter, sigma noise,
+    importance-sample u) comes from explicit PRNG keys instead of global
+    torch RNG state.
+  * No Python chunk loops inside (reference rendering.py:123-135): a training
+    batch renders in one shot; full-image eval tiles fixed-size ray blocks
+    with `lax.map` (render_rays_chunked), so every shape is static and XLA
+    keeps the MLP matmuls on the MXU at full tile size.
+  * The hierarchical resampler uses the comparison-matrix inverse-CDF
+    (ops/sample_pdf.py) instead of a CUDA binary-search extension.
+  * Points keep their (rays, samples, C) shape end-to-end; the view-direction
+    embedding broadcasts instead of being repeat_interleaved
+    (reference rendering.py:119).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.embedding import EmbeddingConfig, embed
+from ..models.nerf import NeRFConfig, nerf_apply
+from ..ops.sample_pdf import sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model-family config: MLP architecture + both embeddings."""
+    nerf: NeRFConfig = NeRFConfig()
+    emb_xyz: EmbeddingConfig = EmbeddingConfig(3, 10)
+    emb_dir: EmbeddingConfig = EmbeddingConfig(3, 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering config (hashable -> jit static arg).
+
+    Field semantics match the reference render_rays signature
+    (models/rendering.py:58-69).
+    """
+    N_samples: int = 64
+    N_importance: int = 0
+    use_disp: bool = False
+    perturb: float = 0.0
+    noise_std: float = 0.0
+    white_back: bool = False
+    test_time: bool = False
+    compute_dtype: Any = jnp.float32
+
+
+def volume_quadrature(sigmas: jnp.ndarray,
+                      z_vals: jnp.ndarray,
+                      dir_norms: jnp.ndarray,
+                      noise: Optional[jnp.ndarray],
+                      rgbs: Optional[jnp.ndarray],
+                      white_back: bool):
+    """Quadrature of the volume-rendering integral along each ray.
+
+    Math parity with reference rendering.py:144-170: deltas with an infinite
+    last interval, scaled by the (pre-normalization) direction norm; sigma
+    noise regularizer; alpha = 1 - exp(-delta * relu(sigma + noise));
+    transmittance by exclusive cumprod of (1 - alpha + 1e-10); weighted
+    RGB/depth sums; optional white-background compositing.
+
+    Args:
+      sigmas: (R, S) raw densities.  z_vals: (R, S) sample depths.
+      dir_norms: (R, 1) ray-direction norms.  noise: (R, S) or None.
+      rgbs: (R, S, 3) or None (weights-only path).
+
+    Returns: dict with 'weights' (R, S), 'opacity' (R,), and — when rgbs is
+    given — 'rgb' (R, 3) and 'depth' (R,).
+    """
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    delta_inf = jnp.full_like(deltas[:, :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1) * dir_norms
+
+    if noise is not None:
+        sigmas = sigmas + noise
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))
+    # Exclusive cumprod for transmittance T_i = prod_{j<i} (1 - a_j).
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1)
+    transmittance = jnp.cumprod(shifted, axis=-1)[:, :-1]
+    weights = alphas * transmittance
+    opacity = jnp.sum(weights, axis=-1)
+
+    out = {"weights": weights, "opacity": opacity}
+    if rgbs is not None:
+        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        if white_back:
+            rgb = rgb + (1.0 - opacity[..., None])
+        out["rgb"] = rgb
+        out["depth"] = depth
+    return out
+
+
+def _evaluate_field(params, xyz, dir_emb, z_vals, dir_norms,
+                    noise_key, cfg: RenderConfig, mcfg: ModelConfig,
+                    sigma_only: bool):
+    """Embed sampled points, run the MLP, integrate. Returns quadrature dict."""
+    xyz_emb = embed(xyz, cfg=mcfg.emb_xyz)  # (R, S, 63)
+    if sigma_only:
+        sigma = nerf_apply(params, xyz_emb, None, cfg=mcfg.nerf,
+                           sigma_only=True, compute_dtype=cfg.compute_dtype)
+        rgbs = None
+    else:
+        rgbs, sigma = nerf_apply(params, xyz_emb, dir_emb[:, None, :],
+                                 cfg=mcfg.nerf, sigma_only=False,
+                                 compute_dtype=cfg.compute_dtype)
+    sigmas = sigma[..., 0]  # (R, S)
+
+    noise = None
+    if cfg.noise_std > 0:
+        noise = cfg.noise_std * jax.random.normal(
+            noise_key, sigmas.shape, dtype=sigmas.dtype)
+    return volume_quadrature(sigmas, z_vals, dir_norms, noise, rgbs,
+                             cfg.white_back)
+
+
+def render_rays(params: Dict[str, Any],
+                rays: jnp.ndarray,
+                key: jax.Array,
+                cfg: RenderConfig,
+                mcfg: ModelConfig = ModelConfig()) -> Dict[str, jnp.ndarray]:
+    """Render a batch of rays through the coarse(+fine) NeRF.
+
+    Args:
+      params: {'nerf_coarse': Params, 'nerf_fine': Params (iff N_importance>0)}.
+      rays: (R, 8) = [origin(3), direction(3), near(1), far(1)].
+      key: PRNG key driving depth jitter / sigma noise / importance u.
+      cfg, mcfg: static configs.
+
+    Returns dict keyed like the reference (rendering.py:213-242):
+      rgb_coarse/depth_coarse/opacity_coarse (omitting rgb/depth when
+      test_time), and rgb_fine/depth_fine/opacity_fine when N_importance > 0.
+    """
+    k_perturb, k_noise_c, k_importance, k_noise_f = jax.random.split(key, 4)
+
+    R = rays.shape[0]
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    dir_norms = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # (R, 1)
+    dir_emb = embed(rays_d, cfg=mcfg.emb_dir)                    # (R, 27)
+
+    z_steps = jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=rays.dtype)
+    if not cfg.use_disp:  # linear in depth
+        z_vals = near * (1.0 - z_steps) + far * z_steps
+    else:                 # linear in disparity
+        z_vals = 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+    z_vals = jnp.broadcast_to(z_vals, (R, cfg.N_samples))
+
+    if cfg.perturb > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([z_mid, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], z_mid], axis=-1)
+        perturb_rand = cfg.perturb * jax.random.uniform(
+            k_perturb, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * perturb_rand
+
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    coarse = _evaluate_field(
+        params["nerf_coarse"], xyz_coarse, dir_emb, z_vals, dir_norms,
+        k_noise_c, cfg, mcfg, sigma_only=cfg.test_time)
+
+    if cfg.test_time:
+        result = {"opacity_coarse": coarse["opacity"]}
+    else:
+        result = {"rgb_coarse": coarse["rgb"],
+                  "depth_coarse": coarse["depth"],
+                  "opacity_coarse": coarse["opacity"]}
+
+    if cfg.N_importance > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_fine = sample_pdf(z_mid, coarse["weights"][:, 1:-1],
+                            cfg.N_importance, det=(cfg.perturb == 0),
+                            key=k_importance)
+        # No gradient into the coarse weights through the resampling
+        # (reference detaches, rendering.py:225-227).
+        z_fine = jax.lax.stop_gradient(z_fine)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+
+        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+        fine = _evaluate_field(
+            params["nerf_fine"], xyz_fine, dir_emb, z_all, dir_norms,
+            k_noise_f, cfg, mcfg, sigma_only=False)
+        result["rgb_fine"] = fine["rgb"]
+        result["depth_fine"] = fine["depth"]
+        result["opacity_fine"] = fine["opacity"]
+
+    return result
+
+
+def render_rays_chunked(params: Dict[str, Any],
+                        rays: jnp.ndarray,
+                        key: jax.Array,
+                        cfg: RenderConfig,
+                        mcfg: ModelConfig = ModelConfig(),
+                        chunk: int = 4096) -> Dict[str, jnp.ndarray]:
+    """Render an arbitrary number of rays by tiling fixed-size blocks.
+
+    Replaces the reference's host-side Python chunk loop (train.py:49-71,
+    eval.py:58-86) with a single jittable `lax.map` over padded fixed-shape
+    tiles: one compile regardless of image size, sequential tiles bound
+    peak memory exactly like chunking did.
+    """
+    R = rays.shape[0]
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+    # Dead padded rays: keep near/far sane (zeros give degenerate z ranges
+    # but still finite math); results are sliced off below.
+    rays_p = rays_p.reshape(n_chunks, chunk, 8)
+    keys = jax.random.split(key, n_chunks)
+
+    out = jax.lax.map(
+        lambda args: render_rays(params, args[0], args[1], cfg, mcfg),
+        (rays_p, keys))
+    return {k: v.reshape((n_chunks * chunk,) + v.shape[2:])[:R]
+            for k, v in out.items()}
