@@ -1,0 +1,7 @@
+"""Dataset registry (parity: reference datasets/__init__.py:1-5)."""
+from .blender import BlenderDataset
+from .llff import LLFFDataset
+
+dataset_dict = {"blender": BlenderDataset, "llff": LLFFDataset}
+
+__all__ = ["BlenderDataset", "LLFFDataset", "dataset_dict"]
