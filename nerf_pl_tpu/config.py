@@ -1,0 +1,148 @@
+"""Training configuration / CLI flags.
+
+Flag surface parity: reference opt.py:3-78 (every flag preserved, same
+defaults), plus TPU-specific additions kept at the end: --precision,
+--num_chips (alias of the reference's --num_gpus), --val_chunk, --steps,
+--log_every, --val_every, --data_on_device, --fused_mlp.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence
+
+
+@dataclasses.dataclass
+class Hparams:
+    root_dir: str = "/data/nerf_synthetic/lego"
+    dataset_name: str = "blender"
+    img_wh: Sequence[int] = (800, 800)
+    spheric_poses: bool = False
+
+    N_samples: int = 64
+    N_importance: int = 128
+    use_disp: bool = False
+    perturb: float = 1.0
+    noise_std: float = 1.0
+
+    loss_type: str = "mse"
+
+    batch_size: int = 1024
+    chunk: int = 32 * 1024
+    num_epochs: int = 16
+    num_gpus: int = 1  # reference name; here: number of TPU chips (data axis)
+
+    ckpt_path: Optional[str] = None
+    prefixes_to_ignore: Sequence[str] = ("loss",)
+
+    optimizer: str = "adam"
+    lr: float = 5e-4
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    lr_scheduler: str = "steplr"
+    warmup_multiplier: float = 1.0
+    warmup_epochs: int = 0
+    decay_step: Sequence[int] = (20,)
+    decay_gamma: float = 0.1
+    poly_exp: float = 0.9
+
+    exp_name: str = "exp"
+
+    # --- TPU-native additions -------------------------------------------
+    precision: str = "float32"      # 'float32' | 'bfloat16' (MLP compute dtype)
+    val_chunk: int = 8192           # rays per tile in full-image val renders
+    log_every: int = 100            # steps between scalar logs
+    scan_steps: int = 100           # steps fused into one on-device lax.scan
+    fused_mlp: bool = False         # use the Pallas fused point-MLP kernel
+    seed: int = 42
+    num_workers: int = 0            # accepted for parity; data is on-device
+
+
+def get_opts(argv: Optional[List[str]] = None) -> Hparams:
+    parser = argparse.ArgumentParser()
+
+    parser.add_argument('--root_dir', type=str,
+                        default='/data/nerf_synthetic/lego',
+                        help='root directory of dataset')
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'llff'],
+                        help='which dataset to train/val')
+    parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
+                        help='resolution (img_w, img_h) of the image')
+    parser.add_argument('--spheric_poses', default=False, action="store_true",
+                        help='whether images are taken in spheric poses (for llff)')
+
+    parser.add_argument('--N_samples', type=int, default=64,
+                        help='number of coarse samples')
+    parser.add_argument('--N_importance', type=int, default=128,
+                        help='number of additional fine samples')
+    parser.add_argument('--use_disp', default=False, action="store_true",
+                        help='use disparity depth sampling')
+    parser.add_argument('--perturb', type=float, default=1.0,
+                        help='factor to perturb depth sampling points')
+    parser.add_argument('--noise_std', type=float, default=1.0,
+                        help='std dev of noise added to regularize sigma')
+
+    parser.add_argument('--loss_type', type=str, default='mse',
+                        choices=['mse'], help='loss to use')
+
+    parser.add_argument('--batch_size', type=int, default=1024,
+                        help='batch size (global, across all chips)')
+    parser.add_argument('--chunk', type=int, default=32 * 1024,
+                        help='chunk size to split the input to avoid OOM')
+    parser.add_argument('--num_epochs', type=int, default=16,
+                        help='number of training epochs')
+    parser.add_argument('--num_gpus', '--num_chips', type=int, default=1,
+                        dest='num_gpus',
+                        help='number of TPU chips on the data axis')
+
+    parser.add_argument('--ckpt_path', type=str, default=None,
+                        help='pretrained checkpoint path to load')
+    parser.add_argument('--prefixes_to_ignore', nargs='+', type=str,
+                        default=['loss'],
+                        help='the prefixes to ignore in the checkpoint state dict')
+
+    parser.add_argument('--optimizer', type=str, default='adam',
+                        choices=['sgd', 'adam', 'radam', 'ranger'],
+                        help='optimizer type')
+    parser.add_argument('--lr', type=float, default=5e-4,
+                        help='learning rate')
+    parser.add_argument('--momentum', type=float, default=0.9,
+                        help='learning rate momentum')
+    parser.add_argument('--weight_decay', type=float, default=0,
+                        help='weight decay')
+    parser.add_argument('--lr_scheduler', type=str, default='steplr',
+                        choices=['steplr', 'cosine', 'poly'],
+                        help='scheduler type')
+    parser.add_argument('--warmup_multiplier', type=float, default=1.0,
+                        help='lr is multiplied by this factor after --warmup_epochs')
+    parser.add_argument('--warmup_epochs', type=int, default=0,
+                        help='Gradually warm-up(increasing) learning rate in optimizer')
+    parser.add_argument('--decay_step', nargs='+', type=int, default=[20],
+                        help='scheduler decay step')
+    parser.add_argument('--decay_gamma', type=float, default=0.1,
+                        help='learning rate decay amount')
+    parser.add_argument('--poly_exp', type=float, default=0.9,
+                        help='exponent for polynomial learning rate decay')
+
+    parser.add_argument('--exp_name', type=str, default='exp',
+                        help='experiment name')
+
+    # --- TPU-native additions -------------------------------------------
+    parser.add_argument('--precision', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='MLP compute dtype (params stay float32)')
+    parser.add_argument('--val_chunk', type=int, default=8192,
+                        help='rays per tile for full-image val renders')
+    parser.add_argument('--log_every', type=int, default=100,
+                        help='steps between scalar logs')
+    parser.add_argument('--scan_steps', type=int, default=100,
+                        help='train steps fused into one on-device lax.scan')
+    parser.add_argument('--fused_mlp', default=False, action='store_true',
+                        help='use the Pallas fused point-MLP kernel')
+    parser.add_argument('--seed', type=int, default=42, help='PRNG seed')
+    parser.add_argument('--num_workers', type=int, default=0,
+                        help='unused (data lives on device); kept for parity')
+
+    args = parser.parse_args(argv)
+    return Hparams(**vars(args))

@@ -1,0 +1,222 @@
+"""SPMD training & rendering over a device mesh.
+
+This module replaces the reference's execution runtime (pytorch-lightning
+Trainer + DDP + DataLoader workers, SURVEY.md L4/C22-C23) with a TPU-native
+design:
+
+  * The entire ray store (every ray of every training image) lives in device
+    HBM, sharded over the `data` mesh axis. Batch sampling is a per-device
+    random gather *inside* the jitted step (shard_map) — zero host->device
+    traffic per step, no worker processes, no sampler state to shard.
+  * `run_steps` fuses K optimizer steps into one `lax.scan`d XLA program:
+    the host only dispatches once per segment and reads back (K,) metric
+    arrays. Dispatch overhead amortizes to ~zero.
+  * Gradients are reduced by XLA: the loss is a mean over the globally
+    sharded batch, so GSPMD inserts the AllReduce over ICI (no NCCL, no
+    explicit pmean).
+  * Optional tensor parallelism over a `model` axis comes entirely from
+    parameter PartitionSpecs (mesh.py); GSPMD threads the collectives.
+  * Full-image rendering tiles rays as (devices, tiles_per_device, chunk):
+    devices work data-parallel, each lax.map's sequentially over its tiles
+    to bound memory — the TPU-native form of the reference's chunk loop
+    (train.py:49-71).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.nerf import init_nerf_params
+from ..rendering.render import ModelConfig, RenderConfig, render_rays
+from .mesh import model_pspecs
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    """Builds and caches the jitted SPMD train/render programs.
+
+    Args:
+      mesh: a (data, model) Mesh from parallel.mesh.make_mesh.
+      mcfg: static model config.
+      rcfg_train: static render config for training steps.
+      optimizer: an optax GradientTransformation.
+      lr_schedule: step -> lr (logged alongside metrics).
+      loss_fn: results dict, rgbs -> scalar.
+      batch_size: GLOBAL batch size (split across the data axis).
+      tensor_parallel: shard the MLP over the 'model' axis.
+    """
+
+    def __init__(self, mesh, mcfg: ModelConfig, rcfg_train: RenderConfig,
+                 optimizer: optax.GradientTransformation,
+                 lr_schedule: Callable,
+                 loss_fn: Callable,
+                 batch_size: int,
+                 tensor_parallel: bool = False):
+        self.mesh = mesh
+        self.mcfg = mcfg
+        self.rcfg_train = rcfg_train
+        self.optimizer = optimizer
+        self.lr_schedule = lr_schedule
+        self.loss_fn = loss_fn
+        self.n_data = mesh.shape["data"]
+        assert batch_size % self.n_data == 0, (
+            f"global batch {batch_size} not divisible by data axis "
+            f"{self.n_data}")
+        self.batch_size = batch_size
+        self.batch_local = batch_size // self.n_data
+        self.tensor_parallel = tensor_parallel
+        self.all_rays = None
+        self.all_rgbs = None
+        self._run_steps = None
+        self._render_cache: Dict[Any, Callable] = {}
+
+    # ---------------------------------------------------------------- data
+    def set_data(self, all_rays: np.ndarray, all_rgbs: np.ndarray):
+        """Ship the full ray store to HBM, sharded over the data axis.
+
+        Pads to a multiple of the axis size by repeating head rays (harmless
+        under with-replacement sampling)."""
+        n = all_rays.shape[0]
+        pad = (-n) % self.n_data
+        if pad:
+            all_rays = np.concatenate([all_rays, all_rays[:pad]], 0)
+            all_rgbs = np.concatenate([all_rgbs, all_rgbs[:pad]], 0)
+        sh = NamedSharding(self.mesh, P("data"))
+        self.all_rays = jax.device_put(all_rays, sh)
+        self.all_rgbs = jax.device_put(all_rgbs, sh)
+        self.n_rays_local = all_rays.shape[0] // self.n_data
+
+    # --------------------------------------------------------------- state
+    def init_state(self, key: jax.Array,
+                   init_params: Optional[Any] = None) -> TrainState:
+        """Initialize (or adopt) params + optimizer state with mesh placement."""
+        if init_params is None:
+            kc, kf = jax.random.split(key)
+            init_params = {"nerf_coarse": init_nerf_params(kc, self.mcfg.nerf)}
+            if self.rcfg_train.N_importance > 0:
+                init_params["nerf_fine"] = init_nerf_params(kf, self.mcfg.nerf)
+        pspecs = model_pspecs(init_params, self.mesh.shape["model"],
+                              self.tensor_parallel)
+        shardings = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(self.mesh, spec), pspecs,
+            is_leaf=lambda x: isinstance(x, P))
+        params = jax.device_put(init_params, shardings)
+        # optimizer.init under jit: moment buffers inherit param shardings.
+        opt_state = jax.jit(self.optimizer.init)(params)
+        step = jax.device_put(jnp.zeros([], jnp.int32),
+                              NamedSharding(self.mesh, P()))
+        return TrainState(params, opt_state, step)
+
+    # --------------------------------------------------------------- train
+    def _sample_batch(self, key: jax.Array):
+        """Per-device uniform gather from the local ray-store shard."""
+        n_local = self.n_rays_local
+        b_local = self.batch_local
+
+        def local(rays_l, rgbs_l, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            idx = jax.random.randint(key, (b_local,), 0, n_local)
+            return jnp.take(rays_l, idx, axis=0), jnp.take(rgbs_l, idx, axis=0)
+
+        return jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(self.all_rays, self.all_rgbs, key)
+
+    def _one_step(self, state: TrainState, key: jax.Array):
+        k_sample, k_render = jax.random.split(key)
+        rays, rgbs = self._sample_batch(k_sample)
+
+        def loss_of(params):
+            out = render_rays(params, rays, k_render, self.rcfg_train,
+                              self.mcfg)
+            return self.loss_fn(out, rgbs), out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        typ = "fine" if "rgb_fine" in out else "coarse"
+        psnr = -10.0 * jnp.log10(jnp.mean((out[f"rgb_{typ}"] - rgbs) ** 2))
+        metrics = {"loss": loss, "psnr": psnr,
+                   "lr": self.lr_schedule(state.step)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    def run_steps(self, state: TrainState, key: jax.Array,
+                  n_steps: int) -> Tuple[TrainState, Dict[str, np.ndarray]]:
+        """Run n_steps fused optimizer steps on device; returns (K,) metrics.
+
+        The per-step PRNG key is fold_in(key, global_step), so restarts and
+        segment boundaries do not change the random stream."""
+        if self._run_steps is None:
+            @functools.partial(jax.jit, static_argnames=("n_steps",),
+                               donate_argnums=(0,))
+            def _run(state, key, n_steps):
+                def body(st, _):
+                    k = jax.random.fold_in(key, st.step)
+                    return self._one_step(st, k)
+                return jax.lax.scan(body, state, None, length=n_steps)
+            self._run_steps = _run
+        state, metrics = self._run_steps(state, key, n_steps)
+        return state, metrics
+
+    # -------------------------------------------------------------- render
+    def render_fn(self, rcfg: RenderConfig, chunk: int) -> Callable:
+        """Jitted sharded full-image renderer for a given static config.
+
+        Input rays are padded+tiled to (n_data * T, chunk, 8); each device
+        lax.map's over its T tiles. Cached per (rcfg, chunk)."""
+        cache_key = (rcfg, chunk)
+        if cache_key in self._render_cache:
+            return self._render_cache[cache_key]
+
+        mcfg = self.mcfg
+
+        def local(params, tiles, key):
+            # tiles: (T, chunk, 8) on this device
+            return jax.lax.map(
+                lambda r: render_rays(params, r, key, rcfg, mcfg), tiles)
+
+        smapped = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+
+        jitted = jax.jit(smapped)
+
+        def render(params, rays: np.ndarray, key=None):
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            R = rays.shape[0]
+            granularity = self.n_data * chunk
+            pad = (-R) % granularity
+            rays_p = np.concatenate(
+                [rays, np.zeros((pad, 8), rays.dtype)], 0) if pad else rays
+            # pad rows: keep near<far to avoid degenerate z ranges
+            if pad:
+                rays_p[R:, 6] = 0.0
+                rays_p[R:, 7] = 1.0
+            tiles = rays_p.reshape(-1, chunk, 8)
+            out = jitted(params, tiles, key)
+            return {k: np.asarray(v.reshape((-1,) + v.shape[2:])[:R])
+                    for k, v in out.items()}
+
+        self._render_cache[cache_key] = render
+        return render

@@ -1,0 +1,92 @@
+"""Image metrics: MSE, PSNR, SSIM.
+
+Parity: reference metrics.py:4-20. The reference's ssim came from kornia's
+window-3 gaussian dssim mapped to [-1, 1]; here SSIM is implemented directly
+in jnp (gaussian window, standard C1/C2 constants) with the same [-1, 1]
+output mapping `1 - 2 * dssim`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(image_pred, image_gt, valid_mask: Optional[jnp.ndarray] = None,
+        reduction: str = "mean"):
+    value = (image_pred - image_gt) ** 2
+    if valid_mask is not None:
+        value = value[valid_mask]
+    if reduction == "mean":
+        return jnp.mean(value)
+    return value
+
+
+def psnr(image_pred, image_gt, valid_mask: Optional[jnp.ndarray] = None,
+         reduction: str = "mean"):
+    return -10 * jnp.log10(mse(image_pred, image_gt, valid_mask, reduction))
+
+
+def _gaussian_kernel1d(size: int, sigma: float) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+    """Separable gaussian blur on (C, H, W) via conv_general_dilated."""
+    import jax
+    C = img.shape[0]
+    pad = len(k) // 2
+    kj = jnp.asarray(k, dtype=img.dtype)
+    x = img[None]  # (1, C, H, W)
+    kh = jnp.broadcast_to(kj.reshape(1, 1, -1, 1), (C, 1, len(k), 1))
+    kw = jnp.broadcast_to(kj.reshape(1, 1, 1, -1), (C, 1, 1, len(k)))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=C)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        feature_group_count=C)
+    return x[0]
+
+
+def ssim_map(image_pred: jnp.ndarray, image_gt: jnp.ndarray,
+             window_size: int = 3, sigma: float = 1.5,
+             max_val: float = 1.0) -> jnp.ndarray:
+    """Per-pixel SSIM for (C, H, W) images in [0, max_val]."""
+    k = _gaussian_kernel1d(window_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+
+    mu_p = _blur(image_pred, k)
+    mu_g = _blur(image_gt, k)
+    mu_pp = mu_p * mu_p
+    mu_gg = mu_g * mu_g
+    mu_pg = mu_p * mu_g
+    sigma_p = _blur(image_pred * image_pred, k) - mu_pp
+    sigma_g = _blur(image_gt * image_gt, k) - mu_gg
+    sigma_pg = _blur(image_pred * image_gt, k) - mu_pg
+
+    num = (2 * mu_pg + C1) * (2 * sigma_pg + C2)
+    den = (mu_pp + mu_gg + C1) * (sigma_p + sigma_g + C2)
+    return num / den
+
+
+def ssim(image_pred: jnp.ndarray, image_gt: jnp.ndarray,
+         reduction: str = "mean"):
+    """SSIM mapped to [-1, 1] like the reference (metrics.py:15-20).
+
+    Accepts (1, 3, H, W) or (3, H, W) images in [0, 1].
+    """
+    if image_pred.ndim == 4:
+        image_pred = image_pred[0]
+        image_gt = image_gt[0]
+    smap = ssim_map(image_pred, image_gt)
+    dssim_ = jnp.clip((1 - smap) / 2, 0, 1)
+    if reduction == "mean":
+        dssim_ = jnp.mean(dssim_)
+    return 1 - 2 * dssim_
