@@ -71,7 +71,10 @@ class TestQuadrature:
         # Doubling dir norm doubles optical depth -> higher opacity.
         R, S = 1, 16
         z = jnp.broadcast_to(jnp.linspace(2, 6, S), (R, S))
-        sigmas = jnp.full((R, S), 0.5)
+        # last sample empty: the infinite final delta must not saturate
+        sigmas = np.full((R, S), 0.5, np.float32)
+        sigmas[:, -1] = -100.0
+        sigmas = jnp.array(sigmas)
         o1 = volume_quadrature(sigmas, z, jnp.ones((R, 1)), None, None,
                                white_back=False)["opacity"]
         o2 = volume_quadrature(sigmas, z, 2 * jnp.ones((R, 1)), None, None,

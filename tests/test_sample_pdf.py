@@ -42,8 +42,10 @@ class TestSamplePdf:
         w[:, 4] = 1.0
         s = np.asarray(sample_pdf(bins, jnp.array(w), M, det=True, eps=1e-8))
         lo, hi = 4 / B, 5 / B
+        # The det linspace includes u=0 and u=1 exactly, which resolve into
+        # the first/last near-zero-mass bins — everything else must be inside.
         frac_inside = np.mean((s >= lo - 1e-3) & (s <= hi + 1e-3))
-        assert frac_inside > 0.95
+        assert frac_inside >= (M - 2) / M
 
     def test_stochastic_matches_distribution(self):
         R, B, M = 1, 4, 20000
