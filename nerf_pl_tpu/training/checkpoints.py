@@ -1,0 +1,185 @@
+"""Checkpointing: full train-state save/resume, top-k retention, partial
+(prefix-filtered) parameter loads, and weights-only export.
+
+Parity targets (SURVEY.md C15):
+  * lightning ModelCheckpoint(save_top_k=5, monitor=val/loss) ->
+    TopKCheckpoints (train.py:154-158 in the reference);
+  * resume_from_checkpoint -> load_checkpoint (train.py:169);
+  * utils/__init__.py:55-76 extract_model_state_dict / load_ckpt ->
+    same-named functions here (non-strict, prefix-filtered);
+  * utils/save_weights_only.py -> save_weights_only (the ~5 MB
+    "portable scene" export, README.md:181-184).
+
+Format: a single .npz holding every pytree leaf under a '/'-joined key path
+(e.g. "params/nerf_coarse/xyz_0/w", "opt_state/1/0/mu/..."), plus a JSON
+metadata blob. Self-describing, framework-free, and loadable without the
+optimizer definition for params-only use.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _key_to_str(k) -> str:
+    if isinstance(k, jax.tree_util.DictKey):
+        return str(k.key)
+    if isinstance(k, jax.tree_util.SequenceKey):
+        return str(k.idx)
+    if isinstance(k, jax.tree_util.GetAttrKey):
+        return str(k.name)
+    if isinstance(k, jax.tree_util.FlattenedIndexKey):
+        return str(k.key)
+    return str(k)
+
+
+def flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(_key_to_str(k) for k in path): np.asarray(leaf)
+            for path, leaf in leaves}
+
+
+def save_checkpoint(path: str, state, meta: Optional[Dict[str, Any]] = None):
+    """Save a TrainState (or any pytree) + JSON metadata to one .npz file."""
+    flat = flatten_with_paths(state)
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    with np.load(path) as z:
+        if "__meta__" not in z:
+            return {}
+        return json.loads(bytes(z["__meta__"].tobytes()).decode())
+
+
+def load_checkpoint(path: str, template) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a pytree saved by save_checkpoint into `template`'s structure.
+
+    Every leaf of the template must be present in the file (full resume).
+    Returns (restored_tree, meta)."""
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+        meta = (json.loads(bytes(z["__meta__"].tobytes()).decode())
+                if "__meta__" in z.files else {})
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path_keys, leaf in paths_leaves:
+        key = "/".join(_key_to_str(k) for k in path_keys)
+        if key not in arrays:
+            raise KeyError(f"checkpoint {path!r} missing leaf {key!r}")
+        arr = arrays[key]
+        if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"shape mismatch for {key}: ckpt {arr.shape} vs "
+                f"template {leaf.shape}")
+        new_leaves.append(arr.astype(leaf.dtype)
+                          if hasattr(leaf, "dtype") else arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), meta
+
+
+def extract_model_state_dict(ckpt_path: str, model_name: str = "nerf_coarse",
+                             prefixes_to_ignore=()) -> Dict[str, np.ndarray]:
+    """Pull one model's parameter dict out of any checkpoint file.
+
+    Accepts full train-state checkpoints ("params/{model}/..." keys) or
+    weights-only exports ("{model}/..." keys). Keys starting with any of
+    prefixes_to_ignore (relative to the model root) are skipped, mirroring
+    reference utils/__init__.py:55-70."""
+    with np.load(ckpt_path) as z:
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    out = {}
+    for key, arr in arrays.items():
+        parts = key.split("/")
+        if parts[0] == "params":
+            parts = parts[1:]
+        if not parts or parts[0] != model_name:
+            continue
+        rel = "/".join(parts[1:])
+        if any(rel.startswith(p) for p in prefixes_to_ignore):
+            print("ignore", rel)
+            continue
+        out[rel] = arr
+    return out
+
+
+def load_ckpt(params: Dict[str, Any], ckpt_path: str,
+              model_name: str = "nerf_coarse",
+              prefixes_to_ignore=()) -> Dict[str, Any]:
+    """Non-strict partial load of one model's params (reference load_ckpt).
+
+    Returns a new full-params tree where {model_name}'s leaves present in the
+    checkpoint are replaced; missing leaves keep their current values."""
+    loaded = extract_model_state_dict(ckpt_path, model_name,
+                                      prefixes_to_ignore)
+    model = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    target = {k: dict(v) for k, v in model[model_name].items()}
+    for rel, arr in loaded.items():
+        layer, leaf = rel.split("/")
+        if layer in target and leaf in target[layer]:
+            target[layer][leaf] = np.asarray(arr)
+    model = dict(model)
+    model[model_name] = target
+    return model
+
+
+def save_weights_only(src_ckpt: str, dst_path: str):
+    """Strip a full checkpoint to bare model weights (~5 MB portable scene)."""
+    with np.load(src_ckpt) as z:
+        flat = {}
+        for k in z.files:
+            if k.startswith("params/"):
+                flat[k[len("params/"):]] = z[k]
+    if not flat:
+        raise ValueError(f"{src_ckpt!r} contains no params/ leaves")
+    with open(dst_path, "wb") as f:
+        np.savez(f, **flat)
+
+
+class TopKCheckpoints:
+    """Keep the k best checkpoints by a monitored value (lower is better).
+
+    Mirrors lightning's ModelCheckpoint(save_top_k, monitor='val/loss',
+    mode='min') used at reference train.py:154-158."""
+
+    def __init__(self, ckpt_dir: str, k: int = 5,
+                 filename: str = "epoch={epoch}.ckpt"):
+        self.ckpt_dir = ckpt_dir
+        self.k = k
+        self.filename = filename
+        self.entries: List[Tuple[float, str]] = []  # (monitored, path)
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def maybe_save(self, state, monitored: float, epoch: int,
+                   meta: Optional[Dict[str, Any]] = None) -> Optional[str]:
+        """Save if among the best k; evict the worst beyond k. Returns path."""
+        path = os.path.join(self.ckpt_dir,
+                            self.filename.format(epoch=epoch))
+        if len(self.entries) >= self.k:
+            worst = max(self.entries, key=lambda e: e[0])
+            if monitored >= worst[0]:
+                return None
+        meta = dict(meta or {})
+        meta.update({"epoch": epoch, "monitored": float(monitored)})
+        save_checkpoint(path, state, meta)
+        self.entries.append((float(monitored), path))
+        if len(self.entries) > self.k:
+            worst = max(self.entries, key=lambda e: e[0])
+            self.entries.remove(worst)
+            if worst[1] != path and os.path.exists(worst[1]):
+                os.remove(worst[1])
+        return path
+
+    @property
+    def best(self) -> Optional[Tuple[float, str]]:
+        return min(self.entries, key=lambda e: e[0]) if self.entries else None

@@ -1,0 +1,225 @@
+"""NeRFSystem: end-to-end training orchestration.
+
+The reference's L4+L5 (lightning Trainer + LightningModule, train.py:27-148)
+collapse into this one explicit class: dataset preparation, SPMD trainer
+construction, the epoch loop (scan segments on device), full-image sharded
+validation with TensorBoard image panels, top-k checkpointing and resume.
+
+There is no DDP process spawning and no DataLoader: the device mesh replaces
+the former, the on-device ray store the latter (parallel/spmd.py).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Hparams
+from ..datasets import dataset_dict
+from ..models.embedding import EmbeddingConfig
+from ..models.nerf import NeRFConfig
+from ..parallel.mesh import make_mesh
+from ..parallel.spmd import Trainer, TrainState
+from ..rendering.render import ModelConfig, RenderConfig
+from ..utils.visualization import visualize_depth
+from .checkpoints import (TopKCheckpoints, load_checkpoint, load_ckpt,
+                          load_meta, save_checkpoint)
+from .losses import loss_dict
+from .lr_schedule import get_lr_schedule
+from .metrics import psnr as psnr_fn
+from .metrics import ssim as ssim_fn
+from .optimizers import get_optimizer
+
+
+class NeRFSystem:
+    def __init__(self, hparams: Hparams, mesh=None, log_dir: str = "logs",
+                 ckpt_root: str = "ckpts", enable_tb: bool = True):
+        self.hparams = hparams
+        self.mesh = mesh
+        self.log_dir = os.path.join(log_dir, hparams.exp_name)
+        self.ckpt_dir = os.path.join(ckpt_root, hparams.exp_name)
+        self.enable_tb = enable_tb
+        self.writer = None
+        self.mcfg = ModelConfig(
+            nerf=NeRFConfig(),
+            emb_xyz=EmbeddingConfig(3, 10),
+            emb_dir=EmbeddingConfig(3, 4))
+
+    # ----------------------------------------------------------------- data
+    def prepare_data(self):
+        hp = self.hparams
+        dataset = dataset_dict[hp.dataset_name]
+        kwargs = {"root_dir": hp.root_dir, "img_wh": tuple(hp.img_wh)}
+        if hp.dataset_name == "llff":
+            kwargs["spheric_poses"] = hp.spheric_poses
+            kwargs["val_num"] = 1  # sharded val: no per-GPU replication hack
+        self.train_dataset = dataset(split="train", **kwargs)
+        self.val_dataset = dataset(split="val", **kwargs)
+
+    # ---------------------------------------------------------------- setup
+    def setup(self):
+        hp = self.hparams
+        if self.mesh is None:
+            n = min(hp.num_gpus, len(jax.devices()))
+            self.mesh = make_mesh(num_data=max(n, 1))
+
+        compute_dtype = (jnp.bfloat16 if hp.precision == "bfloat16"
+                         else jnp.float32)
+        white_back = self.train_dataset.white_back
+        self.rcfg_train = RenderConfig(
+            N_samples=hp.N_samples, N_importance=hp.N_importance,
+            use_disp=hp.use_disp, perturb=hp.perturb,
+            noise_std=hp.noise_std, white_back=white_back,
+            compute_dtype=compute_dtype)
+        # Validation renders clean (no jitter/noise) full images.
+        self.rcfg_val = RenderConfig(
+            N_samples=hp.N_samples, N_importance=hp.N_importance,
+            use_disp=hp.use_disp, perturb=0.0, noise_std=0.0,
+            white_back=white_back, compute_dtype=compute_dtype)
+
+        self.steps_per_epoch = max(
+            1, len(self.train_dataset) // hp.batch_size)
+        self.lr_schedule = get_lr_schedule(
+            hp.lr_scheduler, hp.lr, hp.num_epochs, self.steps_per_epoch,
+            decay_step=hp.decay_step, decay_gamma=hp.decay_gamma,
+            poly_exp=hp.poly_exp, warmup_multiplier=hp.warmup_multiplier,
+            warmup_epochs=hp.warmup_epochs, optimizer=hp.optimizer)
+        optimizer = get_optimizer(
+            hp.optimizer, self.lr_schedule, momentum=hp.momentum,
+            weight_decay=hp.weight_decay)
+
+        self.trainer = Trainer(
+            self.mesh, self.mcfg, self.rcfg_train, optimizer,
+            self.lr_schedule, loss_dict[hp.loss_type], hp.batch_size)
+        self.trainer.set_data(self.train_dataset.all_rays,
+                              self.train_dataset.all_rgbs)
+
+        self.state = self.trainer.init_state(jax.random.PRNGKey(hp.seed))
+        if hp.ckpt_path:
+            self._restore(hp.ckpt_path)
+
+        if self.enable_tb and self.writer is None:
+            from tensorboardX import SummaryWriter
+            os.makedirs(self.log_dir, exist_ok=True)
+            self.writer = SummaryWriter(self.log_dir)
+        self.topk = TopKCheckpoints(self.ckpt_dir, k=5)
+
+    def _restore(self, ckpt_path: str):
+        """Full resume when the checkpoint holds a complete train state;
+        otherwise a non-strict params-only load (reference load_ckpt)."""
+        meta = load_meta(ckpt_path)
+        try:
+            state, meta = load_checkpoint(ckpt_path, self.state)
+            self.state = jax.device_put(state, jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state))
+            print(f"[resume] full train state from {ckpt_path} "
+                  f"(step {int(self.state.step)})")
+            return
+        except (KeyError, ValueError) as e:
+            print(f"[resume] partial load ({e})")
+        params = self.state.params
+        for model_name in params:
+            params = load_ckpt(params, ckpt_path, model_name,
+                               tuple(self.hparams.prefixes_to_ignore))
+        shardings = jax.tree_util.tree_map(lambda x: x.sharding,
+                                           self.state.params)
+        self.state = self.state._replace(
+            params=jax.device_put(params, shardings))
+        print(f"[resume] params from {ckpt_path}")
+
+    # ------------------------------------------------------------- validate
+    def validate(self, global_step: int, max_items: Optional[int] = None
+                 ) -> Dict[str, float]:
+        hp = self.hparams
+        W, H = hp.img_wh
+        render = self.trainer.render_fn(self.rcfg_val, chunk=hp.val_chunk)
+        typ = "fine" if hp.N_importance > 0 else "coarse"
+        losses, psnrs, ssims = [], [], []
+        n_items = len(self.val_dataset) if max_items is None else min(
+            max_items, len(self.val_dataset))
+        for i in range(n_items):
+            sample = self.val_dataset[i]
+            out = render(self.state.params, sample["rays"])
+            rgbs = sample["rgbs"]
+            loss = float(np.mean((out["rgb_coarse"] - rgbs) ** 2)
+                         + (np.mean((out["rgb_fine"] - rgbs) ** 2)
+                            if typ == "fine" else 0.0))
+            losses.append(loss)
+            pred = out[f"rgb_{typ}"]
+            psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(rgbs))))
+            img_pred = pred.reshape(H, W, 3).transpose(2, 0, 1)
+            img_gt = rgbs.reshape(H, W, 3).transpose(2, 0, 1)
+            ssims.append(float(ssim_fn(jnp.asarray(img_pred),
+                                       jnp.asarray(img_gt))))
+            if i == 0 and self.writer is not None:
+                depth = visualize_depth(
+                    out[f"depth_{typ}"].reshape(H, W))
+                stack = np.stack([img_gt, img_pred, depth])  # (3,3,H,W)
+                self.writer.add_images("val/GT_pred_depth", stack,
+                                       global_step)
+        metrics = {"val/loss": float(np.mean(losses)),
+                   "val/psnr": float(np.mean(psnrs)),
+                   "val/ssim": float(np.mean(ssims))}
+        if self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(k, v, global_step)
+        return metrics
+
+    # ------------------------------------------------------------------ fit
+    def fit(self) -> Dict[str, float]:
+        hp = self.hparams
+        self.prepare_data()
+        self.setup()
+
+        base_key = jax.random.PRNGKey(hp.seed + 1)
+        start_step = int(self.state.step)
+        total_steps = hp.num_epochs * self.steps_per_epoch
+        print(f"[fit] {hp.num_epochs} epochs x {self.steps_per_epoch} "
+              f"steps/epoch = {total_steps} steps "
+              f"(resuming at {start_step}); mesh {dict(self.mesh.shape)}")
+
+        # Sanity validation render before training (reference train.py:176).
+        if start_step == 0:
+            sanity = self.validate(0, max_items=1)
+            print(f"[sanity] val/psnr={sanity['val/psnr']:.2f}")
+
+        metrics = {}
+        step = start_step
+        t_start = time.time()
+        rays_done = 0
+        while step < total_steps:
+            seg = min(hp.scan_steps, total_steps - step)
+            epoch_before = step // self.steps_per_epoch
+            self.state, m = self.trainer.run_steps(self.state, base_key, seg)
+            m = {k: np.asarray(v) for k, v in m.items()}
+            rays_done += seg * hp.batch_size
+            step += seg
+            if self.writer is not None:
+                for local_i in range(0, seg, max(1, hp.log_every)):
+                    gs = step - seg + local_i
+                    self.writer.add_scalar("lr", m["lr"][local_i], gs)
+                    self.writer.add_scalar("train/loss", m["loss"][local_i], gs)
+                    self.writer.add_scalar("train/psnr", m["psnr"][local_i], gs)
+            rate = rays_done / max(time.time() - t_start, 1e-9)
+            print(f"[train] step {step}/{total_steps} "
+                  f"loss={m['loss'][-1]:.4f} psnr={m['psnr'][-1]:.2f} "
+                  f"({rate:,.0f} rays/s)", flush=True)
+
+            epoch = step // self.steps_per_epoch
+            if epoch > epoch_before or step >= total_steps:
+                val = self.validate(step)
+                metrics = {**val, "epoch": epoch, "step": step}
+                print(f"[val] epoch {epoch} loss={val['val/loss']:.4f} "
+                      f"psnr={val['val/psnr']:.2f} "
+                      f"ssim={val['val/ssim']:.3f}", flush=True)
+                self.topk.maybe_save(self.state, val["val/loss"], epoch,
+                                     meta={"step": step})
+                save_checkpoint(os.path.join(self.ckpt_dir, "last.ckpt"),
+                                self.state, {"step": step, "epoch": epoch})
+        if self.writer is not None:
+            self.writer.flush()
+        return metrics
