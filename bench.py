@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state training throughput on the flagship config.
+
+Measures rays/sec/chip for the headline Blender recipe (batch 1024,
+N_samples 64 coarse + N_importance 64 fine, full 8x256 MLPs, perturb +
+sigma noise) — the exact per-step work of the reference's lego benchmark
+(README.md:136-142: 0.12 s/step at batch 1024 on an RTX 2080 Ti, i.e.
+8,533 rays/s, the vs_baseline denominator).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 1024 / 0.12  # nerf_pl on RTX 2080 Ti
+
+
+def main():
+    from nerf_pl_tpu.parallel import Trainer, make_mesh
+    from nerf_pl_tpu.rendering import ModelConfig, RenderConfig
+    from nerf_pl_tpu.training import get_lr_schedule, get_optimizer, loss_dict
+
+    batch = 1024
+    mesh = make_mesh(num_data=1)
+    rcfg = RenderConfig(N_samples=64, N_importance=64, perturb=1.0,
+                        noise_std=1.0, white_back=True)
+    sched = get_lr_schedule("steplr", 5e-4, 16, 1000, decay_step=[2, 4, 8],
+                            decay_gamma=0.5)
+    opt = get_optimizer("adam", sched)
+    tr = Trainer(mesh, ModelConfig(), rcfg, opt, sched, loss_dict["mse"],
+                 batch)
+
+    # synthetic ray store shaped like lego 400x400 (content doesn't matter
+    # for speed: the compute is shape-static)
+    rng = np.random.default_rng(0)
+    n = 100 * 400 * 400
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 2.0, np.float32),
+         np.full((n, 1), 6.0, np.float32)], 1)
+    rgbs = rng.random((n, 3)).astype(np.float32)
+    tr.set_data(rays, rgbs)
+
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    # Compile + warmup with the SAME segment length as the timed run (the
+    # jitted program is cached per static scan length). NOTE: do not enable
+    # jax's persistent compilation cache here — it deadlocks against this
+    # machine's remote-compile tunnel.
+    steps = 400
+    state, _ = tr.run_steps(state, jax.random.PRNGKey(1), steps)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    state, m = tr.run_steps(state, jax.random.PRNGKey(1), steps)
+    jax.block_until_ready((state.params, m))
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = steps * batch / dt
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

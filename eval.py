@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Render a test split (or synthetic camera path) from a trained checkpoint.
+
+CLI parity: reference eval.py:20-55 — same flags plus TPU additions at the
+end. Writes per-frame PNGs, an animated GIF, optional PFM/raw depth, and
+prints the mean PSNR when ground truth exists.
+
+The reference's chunked batched_inference (eval.py:58-86, with test_time=True
+so the coarse pass is sigma-only) becomes one jitted sharded renderer
+(Trainer.render_fn) tiling fixed-size ray blocks across the mesh.
+"""
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def get_opts(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True,
+                        help='root directory of dataset')
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'llff'],
+                        help='which dataset to validate')
+    parser.add_argument('--scene_name', type=str, default='test',
+                        help='scene name, used as output folder name')
+    parser.add_argument('--split', type=str, default='test',
+                        help='test or test_train')
+    parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
+                        help='resolution (img_w, img_h) of the image')
+    parser.add_argument('--spheric_poses', default=False, action="store_true",
+                        help='whether images are taken in spheric poses (for llff)')
+
+    parser.add_argument('--N_samples', type=int, default=64,
+                        help='number of coarse samples')
+    parser.add_argument('--N_importance', type=int, default=128,
+                        help='number of additional fine samples')
+    parser.add_argument('--use_disp', default=False, action="store_true",
+                        help='use disparity depth sampling')
+    parser.add_argument('--chunk', type=int, default=32 * 1024,
+                        help='rays per render tile')
+
+    parser.add_argument('--ckpt_path', type=str, required=True,
+                        help='pretrained checkpoint path to load')
+
+    parser.add_argument('--save_depth', default=False, action="store_true",
+                        help='whether to save depth prediction')
+    parser.add_argument('--depth_format', type=str, default='pfm',
+                        choices=['pfm', 'bytes'],
+                        help='which format to save')
+
+    # --- TPU additions ---------------------------------------------------
+    parser.add_argument('--num_chips', type=int, default=1,
+                        help='chips on the data mesh axis')
+    parser.add_argument('--precision', type=str, default='float32',
+                        choices=['float32', 'bfloat16'])
+    parser.add_argument('--out_dir', type=str, default='results',
+                        help='output root directory')
+    return parser.parse_args(argv)
+
+
+def save_gif(path, frames, fps=30):
+    try:
+        import imageio
+        imageio.mimsave(path, frames, fps=fps)
+    except (ImportError, TypeError):
+        from PIL import Image
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / fps), loop=0)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from nerf_pl_tpu.datasets import dataset_dict
+    from nerf_pl_tpu.datasets.depth_utils import save_pfm
+    from nerf_pl_tpu.models import init_nerf_params
+    from nerf_pl_tpu.parallel import Trainer, make_mesh
+    from nerf_pl_tpu.rendering import ModelConfig, RenderConfig
+    from nerf_pl_tpu.training import get_optimizer, loss_dict
+    from nerf_pl_tpu.training.checkpoints import load_ckpt
+    from nerf_pl_tpu.training.metrics import psnr as psnr_fn
+
+    args = get_opts(argv)
+    w, h = args.img_wh
+
+    kwargs = {'root_dir': args.root_dir, 'split': args.split,
+              'img_wh': tuple(args.img_wh)}
+    if args.dataset_name == 'llff':
+        kwargs['spheric_poses'] = args.spheric_poses
+    dataset = dataset_dict[args.dataset_name](**kwargs)
+
+    mcfg = ModelConfig()
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    params = {"nerf_coarse": init_nerf_params(kc, mcfg.nerf),
+              "nerf_fine": init_nerf_params(kf, mcfg.nerf)}
+    params = load_ckpt(params, args.ckpt_path, "nerf_coarse")
+    params = load_ckpt(params, args.ckpt_path, "nerf_fine")
+
+    compute_dtype = (jnp.bfloat16 if args.precision == "bfloat16"
+                     else jnp.float32)
+    rcfg = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        use_disp=args.use_disp, perturb=0.0, noise_std=0.0,
+        white_back=dataset.white_back, test_time=True,
+        compute_dtype=compute_dtype)
+
+    mesh = make_mesh(num_data=min(args.num_chips, len(jax.devices())))
+    # Trainer only used as the sharded-render host here.
+    tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
+                 lambda s: 1e-3, loss_dict["mse"], mesh.shape["data"])
+    params = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec()))
+    render = tr.render_fn(rcfg, chunk=args.chunk)
+
+    typ = "fine" if args.N_importance > 0 else "coarse"
+    dir_name = os.path.join(args.out_dir, args.dataset_name, args.scene_name)
+    os.makedirs(dir_name, exist_ok=True)
+
+    imgs, psnrs = [], []
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        results = render(params, sample['rays'])
+        img_pred = results[f'rgb_{typ}'].reshape(h, w, 3)
+
+        if args.save_depth:
+            depth_pred = np.nan_to_num(
+                results[f'depth_{typ}'].reshape(h, w))
+            if args.depth_format == 'pfm':
+                save_pfm(os.path.join(dir_name, f'depth_{i:03d}.pfm'),
+                         depth_pred.astype(np.float32))
+            else:
+                with open(os.path.join(dir_name, f'depth_{i:03d}'), 'wb') as f:
+                    f.write(depth_pred.tobytes())
+
+        img_pred_ = (np.clip(img_pred, 0, 1) * 255).astype(np.uint8)
+        imgs.append(img_pred_)
+        Image.fromarray(img_pred_).save(
+            os.path.join(dir_name, f'{i:03d}.png'))
+
+        if 'rgbs' in sample:
+            psnrs.append(float(psnr_fn(jnp.asarray(img_pred),
+                                       jnp.asarray(sample['rgbs']
+                                                   .reshape(h, w, 3)))))
+        print(f"[eval] frame {i + 1}/{len(dataset)}", flush=True)
+
+    save_gif(os.path.join(dir_name, f'{args.scene_name}.gif'), imgs, fps=30)
+
+    if psnrs:
+        print(f'Mean PSNR : {np.mean(psnrs):.2f}')
+    return np.mean(psnrs) if psnrs else None
+
+
+if __name__ == "__main__":
+    main()

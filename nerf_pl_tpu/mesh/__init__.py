@@ -1,0 +1,4 @@
+from .native import cluster_triangles, marching_cubes
+from .ply import write_ply
+
+__all__ = ["marching_cubes", "cluster_triangles", "write_ply"]
