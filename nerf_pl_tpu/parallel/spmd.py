@@ -119,8 +119,12 @@ class Trainer:
         return TrainState(params, opt_state, step)
 
     # --------------------------------------------------------------- train
-    def _sample_batch(self, key: jax.Array):
-        """Per-device uniform gather from the local ray-store shard."""
+    def _sample_batch(self, all_rays, all_rgbs, key: jax.Array):
+        """Per-device uniform gather from the local ray-store shard.
+
+        NOTE: the ray store MUST flow in as a traced argument — a closure
+        capture would embed the whole store as an HLO constant (hundreds of
+        MB for real scenes), exploding compile time."""
         n_local = self.n_rays_local
         b_local = self.batch_local
 
@@ -134,11 +138,12 @@ class Trainer:
             in_specs=(P("data"), P("data"), P()),
             out_specs=(P("data"), P("data")),
             check_vma=False,
-        )(self.all_rays, self.all_rgbs, key)
+        )(all_rays, all_rgbs, key)
 
-    def _one_step(self, state: TrainState, key: jax.Array):
+    def _one_step(self, state: TrainState, all_rays, all_rgbs,
+                  key: jax.Array):
         k_sample, k_render = jax.random.split(key)
-        rays, rgbs = self._sample_batch(k_sample)
+        rays, rgbs = self._sample_batch(all_rays, all_rgbs, k_sample)
 
         def loss_of(params):
             out = render_rays(params, rays, k_render, self.rcfg_train,
@@ -166,13 +171,14 @@ class Trainer:
         if self._run_steps is None:
             @functools.partial(jax.jit, static_argnames=("n_steps",),
                                donate_argnums=(0,))
-            def _run(state, key, n_steps):
+            def _run(state, all_rays, all_rgbs, key, n_steps):
                 def body(st, _):
                     k = jax.random.fold_in(key, st.step)
-                    return self._one_step(st, k)
+                    return self._one_step(st, all_rays, all_rgbs, k)
                 return jax.lax.scan(body, state, None, length=n_steps)
             self._run_steps = _run
-        state, metrics = self._run_steps(state, key, n_steps)
+        state, metrics = self._run_steps(state, self.all_rays, self.all_rgbs,
+                                         key, n_steps)
         return state, metrics
 
     # -------------------------------------------------------------- render
