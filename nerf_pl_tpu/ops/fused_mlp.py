@@ -1,0 +1,467 @@
+"""Fused NeRF point-MLP as a Pallas TPU kernel (forward + custom VJP),
+with the sinusoidal positional embedding computed in-kernel.
+
+Why: the stock XLA path is HBM-bandwidth-bound — the ~10 (points, 256)
+activation tensors round-trip HBM in forward AND backward (~6 GB/step at
+batch 1024 x 192 samples, measured 16.5 ms/step), and the embedded inputs
+add another (points, 63+27) x2. This kernel:
+  * streams (tile, 8)-packed raw xyz / view-direction points through VMEM,
+  * computes gamma(x) inside the kernel via a phase matmul
+    (x @ F, F[c, j] = 2^k for the (channel, frequency) of output column j)
+    followed by a sin/cos column mask — no embedding tensors ever hit HBM,
+  * keeps the full MLP's activations in VMEM (weights ~2.4 MB resident),
+  * backward recomputes the forward in-kernel (remat-in-VMEM) and
+    accumulates WEIGHT gradients in VMEM scratch across the sequential TPU
+    grid, flushing to HBM once. Points are data — no input grads exist.
+
+Architecture notes (models/nerf.py defaults: D=8, W=256, skip at layer 4,
+128-wide view branch; reference models/nerf.py:41-123):
+  * Every concat (embedding [x, sin, cos], the skip concat([x, h]) @ W,
+    the view concat([feat, dir]) @ W) is split algebraically into sums of
+    clean matmuls — no odd widths on the MXU.
+  * MLP matmuls run bfloat16 with f32 accumulation; the phase matmul runs
+    f32 (high frequencies need exact arguments to sin/cos).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Fixed architecture of the fused kernel (the default NeRF config).
+D = 8
+W = 256
+WD = 128            # view-branch width
+SKIP_LAYER = 4      # trunk layer receiving the x skip
+IN_P = 8            # packed raw-point width (3 used)
+FX = 10             # xyz frequencies  -> 60 sin/cos cols (64 padded)
+FD = 4              # dir frequencies  -> 24 sin/cos cols (32 padded)
+EX = 64             # padded xyz sin/cos width
+ED = 32             # padded dir sin/cos width
+N_PACKED = 17       # number of packed weight buffers
+
+
+def _cast(x):
+    return x.astype(jnp.bfloat16)
+
+
+def _dot(a, b):
+    return jax.lax.dot(_cast(a), _cast(b),
+                       preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):
+    return jax.lax.dot_general(
+        _cast(a), _cast(b), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _phase_consts(n_freqs: int, padded: int):
+    """(IN_P, padded) frequency matrix + (1, padded) phase offset.
+
+    Column layout matches models.embedding — per frequency k:
+    [sin(f_k x), sin(f_k y), sin(f_k z), cos(f_k x), cos(f_k y), cos(f_k z)].
+    cos columns carry a +pi/2 phase offset so the whole block is ONE sin()
+    (cos(t) = sin(t + pi/2)) — halves the VPU transcendental count."""
+    F = np.zeros((IN_P, padded), np.float32)
+    off = np.zeros((1, padded), np.float32)
+    for k in range(n_freqs):
+        f = 2.0 ** k
+        for c in range(3):
+            F[c, k * 6 + c] = f
+            F[c, k * 6 + 3 + c] = f
+            off[0, k * 6 + 3 + c] = np.pi / 2
+    return jnp.asarray(F), jnp.asarray(off)
+
+
+def _embed_sincos(p8, Fmat, offset):
+    """(T, IN_P) raw points -> (T, padded) sin/cos block (f32 phases)."""
+    phase = jax.lax.dot(p8, Fmat, preferred_element_type=jnp.float32)
+    return jnp.sin(phase + offset)
+
+
+def pack_params(params: Dict[str, Dict[str, jnp.ndarray]]):
+    """Repack one NeRF MLP's pytree into the kernel's padded buffers.
+
+    The embedding layout [x, per-freq interleaved sin/cos] maps weight rows:
+    rows 0..2 -> raw x, rows 3.. -> sin/cos block (re-ordered to the
+    kernel's per-frequency [sin3, cos3] layout, which matches
+    models/embedding.py exactly, so no reordering is actually needed).
+    Returns 17 f32 buffers."""
+    f32 = jnp.float32
+
+    def pad_rows(w, rows):
+        return jnp.zeros((rows, w.shape[1]), f32).at[:w.shape[0]].set(w)
+
+    def pad_cols(w, cols):
+        return jnp.zeros((w.shape[0], cols), f32).at[:, :w.shape[1]].set(w)
+
+    def split_x(w):  # (63, n) -> raw (IN_P, n) + sincos (EX, n)
+        return pad_rows(w[:3], IN_P), pad_rows(w[3:], EX)
+
+    w0r, w0e = split_x(params["xyz_0"]["w"])
+    wskip = params[f"xyz_{SKIP_LAYER}"]["w"]          # (63+W, W), x part first
+    wskr, wske = split_x(wskip[:63])
+    trunk = []
+    for i in range(1, D):
+        w = params[f"xyz_{i}"]["w"]
+        if i == SKIP_LAYER:
+            w = wskip[63:]                            # h part (W, W)
+        trunk.append(w)
+    wt = jnp.stack(trunk)                             # (7, W, W)
+    bt = jnp.stack([params[f"xyz_{i}"]["b"] for i in range(D)])  # (8, W)
+
+    wf = params["xyz_final"]["w"]
+    bf = params["xyz_final"]["b"][None]
+    wdir = params["dir"]["w"]                         # (W+27, WD), feat first
+    wdf = wdir[:W]
+    wddr = pad_rows(wdir[W:W + 3], IN_P)
+    wdde = pad_rows(wdir[W + 3:], ED)
+    bd = params["dir"]["b"][None]
+    ws = pad_cols(params["sigma"]["w"], 8)            # (W, 8)
+    bs = pad_cols(params["sigma"]["b"][None], 8)
+    wr = pad_cols(params["rgb"]["w"], 8)              # (WD, 8)
+    br = pad_cols(params["rgb"]["b"][None], 8)
+    return (w0r, w0e, wskr, wske, wt, bt, wf, bf, wdf, wddr, wdde, bd,
+            ws, bs, wr, br,
+            jnp.zeros((1, 1), f32))  # placeholder keeps N_PACKED stable
+
+
+def unpack_grads(grads: Tuple, params: Dict) -> Dict:
+    """Map kernel weight-grad buffers back onto the params pytree layout."""
+    (gw0r, gw0e, gwskr, gwske, gwt, gbt, gwf, gbf, gwdf, gwddr, gwdde,
+     gbd, gws, gbs, gwr, gbr, _) = grads
+
+    def join_x(gr, ge):  # -> (63, n)
+        return jnp.concatenate([gr[:3], ge[:60]], axis=0)
+
+    out = {}
+    for i in range(D):
+        if i == 0:
+            gw = join_x(gw0r, gw0e)
+        elif i == SKIP_LAYER:
+            gw = jnp.concatenate([join_x(gwskr, gwske), gwt[i - 1]], axis=0)
+        else:
+            gw = gwt[i - 1]
+        out[f"xyz_{i}"] = {"w": gw, "b": gbt[i]}
+    out["xyz_final"] = {"w": gwf, "b": gbf[0]}
+    out["dir"] = {"w": jnp.concatenate([gwdf, gwddr[:3], gwdde[:24]], axis=0),
+                  "b": gbd[0]}
+    out["sigma"] = {"w": gws[:, :1], "b": gbs[0, :1]}
+    out["rgb"] = {"w": gwr[:, :3], "b": gbr[0, :3]}
+    return out
+
+
+def _forward_body(p8, d8, consts, ws_, keep_acts: bool):
+    (Fx, mx, Fd, md) = consts
+    (w0r, w0e, wskr, wske, wt, bt, wf, bf, wdf, wddr, wdde, bd, ws, bs,
+     wr, br, _) = ws_
+    # Activations are kept in bf16 (the matmuls cast to bf16 anyway, and
+    # it halves VMEM pressure for the backward's remat buffers).
+    ex = _cast(_embed_sincos(p8, Fx, mx))              # (T, EX)
+    acts = []
+    h = _cast(jnp.maximum(_dot(p8, w0r) + _dot(ex, w0e) + bt[0][None], 0.0))
+    if keep_acts:
+        acts.append(h)
+    skip = _dot(p8, wskr) + _dot(ex, wske)
+    for i in range(1, D):
+        t = _dot(h, wt[i - 1]) + bt[i][None]
+        if i == SKIP_LAYER:
+            t = t + skip
+        h = _cast(jnp.maximum(t, 0.0))
+        if keep_acts:
+            acts.append(h)
+    sigma8 = _dot(h, ws) + bs                          # (T, 8), col 0 real
+    feat = _cast(_dot(h, wf) + bf)                     # (T, W), linear
+    ed = _cast(_embed_sincos(d8, Fd, md))              # (T, ED)
+    hd = _cast(jnp.maximum(
+        _dot(feat, wdf) + _dot(d8, wddr) + _dot(ed, wdde) + bd, 0.0))
+    rgb8 = jax.nn.sigmoid(_dot(hd, wr) + br)           # (T, 8), cols 0..2
+    if keep_acts:
+        return sigma8, rgb8, feat, hd, ex, ed, acts
+    return sigma8, rgb8, feat, hd, ex, ed, None
+
+
+def _fwd_kernel(x_ref, d_ref, fx_ref, mx_ref, fd_ref, md_ref, *refs):
+    *w_refs, out_ref = refs
+    consts_n = (fx_ref[:], mx_ref[:], fd_ref[:], md_ref[:])
+    ws_ = [r[:] for r in w_refs]
+    sigma8, rgb8, *_ = _forward_body(x_ref[:], d_ref[:], consts_n, ws_,
+                                     keep_acts=False)
+    out_ref[:, 0:3] = rgb8[:, 0:3]
+    out_ref[:, 3:4] = sigma8[:, 0:1]
+    out_ref[:, 4:8] = jnp.zeros_like(out_ref[:, 4:8])
+
+
+def _bwd_kernel(x_ref, d_ref, fx_ref, mx_ref, fd_ref, md_ref, *refs):
+    consts_n = (fx_ref[:], mx_ref[:], fd_ref[:], md_ref[:])
+    w_refs = refs[:N_PACKED]
+    g_ref = refs[N_PACKED]
+    out_refs = refs[N_PACKED + 1:N_PACKED + 1 + N_PACKED]
+    acc_refs = refs[N_PACKED + 1 + N_PACKED:]
+
+    x = x_ref[:]
+    d = d_ref[:]
+    ws_ = [r[:] for r in w_refs]
+    (w0r, w0e, wskr, wske, wt, bt, wf, bf, wdf, wddr, wdde, bd, ws, bs,
+     wr, br, _) = ws_
+    sigma8, rgb8, feat, hd, ex, ed, acts = _forward_body(
+        x, d, consts_n, ws_, keep_acts=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in acc_refs:
+            r[:] = jnp.zeros_like(r)
+
+    g = g_ref[:]                                   # (T, 8): rgb(3), sigma(1)
+    zeros5 = jnp.zeros((g.shape[0], 5), g.dtype)
+    zeros7 = jnp.zeros((g.shape[0], 7), g.dtype)
+    g_rgb8 = jnp.concatenate([g[:, 0:3], zeros5], axis=1)
+    g_sigma8 = jnp.concatenate([g[:, 3:4], zeros7], axis=1)
+
+    # rgb head (sigmoid)
+    dz_r = g_rgb8 * rgb8 * (1.0 - rgb8)
+    d_wr = _dot_t(hd, dz_r)
+    d_br = jnp.sum(dz_r, axis=0, keepdims=True)
+    d_hd = _dot(dz_r, wr.T)
+
+    # view branch (relu). NOTE: compare in f32 — Mosaic on v5e rejects
+    # bf16 vector comparisons.
+    dz_d = jnp.where(hd.astype(jnp.float32) > 0, d_hd, 0.0)
+    d_wdf = _dot_t(feat, dz_d)
+    d_wddr = _dot_t(d, dz_d)
+    d_wdde = _dot_t(ed, dz_d)
+    d_bd = jnp.sum(dz_d, axis=0, keepdims=True)
+    d_feat = _dot(dz_d, wdf.T)
+
+    # feature layer (linear)
+    h_last = acts[-1]
+    d_wf = _dot_t(h_last, d_feat)
+    d_bf = jnp.sum(d_feat, axis=0, keepdims=True)
+    d_h = _dot(d_feat, wf.T)
+
+    # sigma head (linear)
+    d_ws = _dot_t(h_last, g_sigma8)
+    d_bs = jnp.sum(g_sigma8, axis=0, keepdims=True)
+    d_h = d_h + _dot(g_sigma8, ws.T)
+
+    # trunk layers D-1 .. 1
+    d_wt = [None] * (D - 1)
+    d_bt = [None] * D
+    d_wskr = None
+    d_wske = None
+    for i in range(D - 1, 0, -1):
+        dz = jnp.where(acts[i].astype(jnp.float32) > 0, d_h, 0.0)
+        d_wt[i - 1] = _dot_t(acts[i - 1], dz)
+        d_bt[i] = jnp.sum(dz, axis=0)
+        d_h = _dot(dz, wt[i - 1].T)
+        if i == SKIP_LAYER:
+            d_wskr = _dot_t(x, dz)
+            d_wske = _dot_t(ex, dz)
+
+    dz0 = jnp.where(acts[0].astype(jnp.float32) > 0, d_h, 0.0)
+    d_w0r = _dot_t(x, dz0)
+    d_w0e = _dot_t(ex, dz0)
+    d_bt[0] = jnp.sum(dz0, axis=0)
+
+    grads = (d_w0r, d_w0e, d_wskr, d_wske, jnp.stack(d_wt),
+             jnp.stack(d_bt), d_wf, d_bf, d_wdf, d_wddr, d_wdde, d_bd,
+             d_ws, d_bs, d_wr, d_br, jnp.zeros((1, 1), jnp.float32))
+    for r, gval in zip(acc_refs, grads):
+        r[:] += gval
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        for o, r in zip(out_refs, acc_refs):
+            o[:] = r[:]
+
+
+def _const_block(arr):
+    """Full-array block pinned at index 0 for every grid step: Pallas sees
+    the same block across the (sequential) grid and skips the re-DMA —
+    weights are fetched into VMEM once, not once per tile."""
+    nd = np.ndim(arr)
+    return pl.BlockSpec(np.shape(arr), lambda i, nd=nd: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _weight_specs(packed):
+    return [_const_block(w) for w in packed]
+
+
+# Indices of matmul-weight buffers in the packed tuple (cast to bf16 once
+# per step OUTSIDE the kernel — an in-kernel cast would re-run on every
+# tile of the grid). Bias/placeholder buffers stay f32.
+_MATMUL_IDX = frozenset({0, 1, 2, 3, 4, 6, 8, 9, 10, 12, 14})
+
+
+def _precast(packed):
+    return tuple(_cast(w) if i in _MATMUL_IDX else w
+                 for i, w in enumerate(packed))
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode on non-TPU backends (CPU test mesh)."""
+    return jax.default_backend() != "tpu"
+
+
+def _consts():
+    Fx, mx = _phase_consts(FX, EX)
+    Fd, md = _phase_consts(FD, ED)
+    return (Fx, mx, Fd, md)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_nerf_mlp(packed, x_pad, d_pad, tile: int = 1024):
+    """Fused NeRF MLP on packed raw points.
+
+    Args:
+      packed: tuple from pack_params.
+      x_pad: (P, IN_P) raw sample positions in cols 0..2, P % tile == 0.
+      d_pad: (P, IN_P) raw view directions in cols 0..2.
+
+    Returns (P, 8): cols 0..2 rgb (post-sigmoid), col 3 raw sigma.
+    """
+    return _fused_fwd_call(packed, x_pad, d_pad, tile)
+
+
+def _fused_fwd_call(packed, x_pad, d_pad, tile):
+    P = x_pad.shape[0]
+    grid = (P // tile,)
+    in_specs = (
+        [pl.BlockSpec((tile, IN_P), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((tile, IN_P), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [_const_block(c) for c in _consts()]
+        + _weight_specs(packed))
+    packed = _precast(packed)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 8), jnp.float32),
+        interpret=_interpret(),
+    )(x_pad, d_pad, *_consts(), *packed)
+
+
+def _fused_fwd(packed, x_pad, d_pad, tile):
+    return _fused_fwd_call(packed, x_pad, d_pad, tile), (packed, x_pad, d_pad)
+
+
+def _fused_bwd(tile, residuals, g):
+    packed, x_pad, d_pad = residuals
+    # The backward keeps 8 remat'd activations per point in VMEM: cap the
+    # tile so acts + weights + grad accumulators fit the ~16MB budget.
+    tile = min(tile, 512)
+    P = x_pad.shape[0]
+    grid = (P // tile,)
+    in_specs = (
+        [pl.BlockSpec((tile, IN_P), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((tile, IN_P), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [_const_block(c) for c in _consts()]
+        + _weight_specs(packed)
+        + [pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)])
+    out_shapes = tuple(jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                       for p in packed)
+    out_specs = tuple(_const_block(p) for p in packed)
+    scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in packed]
+    packed = _precast(packed)
+    grads = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(x_pad, d_pad, *_consts(), *packed, g)
+    return grads, jnp.zeros_like(x_pad), jnp.zeros_like(d_pad)
+
+
+fused_nerf_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def nerf_apply_fused(params: Dict, xyz: jnp.ndarray, dirs: jnp.ndarray,
+                     tile: int = 1024):
+    """Drop-in fused replacement for embed + models.nerf.nerf_apply.
+
+    Args:
+      xyz: (..., 3) RAW sample positions (not embedded).
+      dirs: raw view directions broadcastable to xyz's batch shape, (..., 3).
+
+    Returns (rgb (..., 3), sigma (..., 1)) like nerf_apply.
+    """
+    batch_shape = xyz.shape[:-1]
+    x = xyz.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs, batch_shape + (3,)).reshape(-1, 3)
+    P = x.shape[0]
+    pad = (-P) % tile
+    x_pad = jnp.pad(x, ((0, pad), (0, IN_P - 3)))
+    d_pad = jnp.pad(d, ((0, pad), (0, IN_P - 3)))
+
+    packed = pack_params(params)
+    out = fused_nerf_mlp(packed, x_pad, d_pad, tile)[:P]
+    rgb = out[:, 0:3].reshape(*batch_shape, 3)
+    sigma = out[:, 3:4].reshape(*batch_shape, 1)
+    return rgb, sigma
+
+
+# ---------------------------------------------------------------------------
+# Sigma-only fused forward (inference): trunk + sigma head, no view branch.
+# Used by test-time coarse passes (reference rendering.py:209-213) and the
+# mesh sigma-grid query — ~40% of the full kernel's FLOPs, no VJP needed.
+# ---------------------------------------------------------------------------
+
+def _sigma_kernel(x_ref, fx_ref, mx_ref, *refs):
+    *w_refs, out_ref = refs
+    consts_n = (fx_ref[:], mx_ref[:])
+    (Fx, mx) = consts_n
+    (w0r, w0e, wskr, wske, wt, bt, ws, bs) = [r[:] for r in w_refs]
+    p8 = x_ref[:]
+    ex = _cast(_embed_sincos(p8, Fx, mx))
+    h = _cast(jnp.maximum(_dot(p8, w0r) + _dot(ex, w0e) + bt[0][None], 0.0))
+    skip = _dot(p8, wskr) + _dot(ex, wske)
+    for i in range(1, D):
+        t = _dot(h, wt[i - 1]) + bt[i][None]
+        if i == SKIP_LAYER:
+            t = t + skip
+        h = _cast(jnp.maximum(t, 0.0))
+    out_ref[:] = _dot(h, ws) + bs                      # (T, 8), col 0 real
+
+
+def nerf_sigma_fused(params: Dict, xyz: jnp.ndarray, tile: int = 1024):
+    """Fused sigma-only inference: raw xyz (..., 3) -> sigma (..., 1)."""
+    batch_shape = xyz.shape[:-1]
+    x = xyz.reshape(-1, 3)
+    P = x.shape[0]
+    pad = (-P) % tile
+    x_pad = jnp.pad(x, ((0, pad), (0, IN_P - 3)))
+    packed = _precast(pack_params(params))
+    sub = (packed[0], packed[1], packed[2], packed[3], packed[4],
+           packed[5], packed[12], packed[13])  # trunk + sigma head buffers
+    Fx, mx = _consts()[:2]
+    in_specs = ([pl.BlockSpec((tile, IN_P), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+                + [_const_block(Fx), _const_block(mx)]
+                + [_const_block(w) for w in sub])
+    out = pl.pallas_call(
+        _sigma_kernel,
+        grid=((P + pad) // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P + pad, 8), jnp.float32),
+        interpret=_interpret(),
+    )(x_pad, Fx, mx, *sub)
+    return out[:P, 0:1].reshape(*batch_shape, 1)

@@ -73,14 +73,25 @@ def sample_pdf(bins: jnp.ndarray,
             raise ValueError("sample_pdf(det=False) requires a PRNG key")
         u = jax.random.uniform(key, (N_rays, N_importance), dtype=cdf.dtype)
 
-    inds = searchsorted_right(cdf, u)              # (R, M) in [0, B+1]
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, N_bins)
-
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    # Bracketing WITHOUT gathers: cdf is ascending, so the reference's
+    # below/above = searchsorted(cdf, u)-1 / searchsorted(cdf, u) gathers
+    # (rendering.py:42-48) reduce to masked max/min over the bin axis —
+    # pure VPU compare+reduce, ~10x faster on TPU than take_along_axis.
+    mask = cdf[..., None, :] <= u[..., :, None]    # (R, M, B+1)
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
+    cdf_e = cdf[..., None, :]
+    bins_e = bins[..., None, :]
+    # largest entry with cdf <= u (mask always true at index 0: cdf_0 = 0)
+    cdf_b = jnp.max(jnp.where(mask, cdf_e, neg), axis=-1)
+    bins_b = jnp.max(jnp.where(mask, bins_e, neg), axis=-1)
+    # smallest entry with cdf > u; if none (u >= 1), clamp to the last
+    # entry like the reference's above = min(inds, N_bins)
+    cdf_a = jnp.min(jnp.where(mask, pos, cdf_e), axis=-1)
+    bins_a = jnp.min(jnp.where(mask, pos, bins_e), axis=-1)
+    none_above = jnp.isinf(cdf_a)
+    cdf_a = jnp.where(none_above, cdf[..., -1:], cdf_a)
+    bins_a = jnp.where(none_above, bins[..., -1:], bins_a)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < eps, 1.0, denom)  # zero-weight bin: never hit

@@ -53,6 +53,9 @@ class RenderConfig:
     white_back: bool = False
     test_time: bool = False
     compute_dtype: Any = jnp.float32
+    # Use the Pallas fused point-MLP (ops/fused_mlp.py). Requires the
+    # default NeRF architecture; bf16 matmuls with f32 accumulation.
+    fused: bool = False
 
 
 def volume_quadrature(sigmas: jnp.ndarray,
@@ -102,16 +105,25 @@ def volume_quadrature(sigmas: jnp.ndarray,
     return out
 
 
-def _evaluate_field(params, xyz, dir_emb, z_vals, dir_norms,
+def _evaluate_field(params, xyz, rays_d, dir_emb, z_vals, dir_norms,
                     noise_key, cfg: RenderConfig, mcfg: ModelConfig,
                     sigma_only: bool):
     """Embed sampled points, run the MLP, integrate. Returns quadrature dict."""
-    xyz_emb = embed(xyz, cfg=mcfg.emb_xyz)  # (R, S, 63)
-    if sigma_only:
+    if cfg.fused and not sigma_only:
+        # Pallas path embeds in-kernel: feed raw positions/directions.
+        from ..ops.fused_mlp import nerf_apply_fused
+        rgbs, sigma = nerf_apply_fused(params, xyz, rays_d[:, None, :])
+    elif cfg.fused and sigma_only:
+        from ..ops.fused_mlp import nerf_sigma_fused
+        sigma = nerf_sigma_fused(params, xyz)
+        rgbs = None
+    elif sigma_only:
+        xyz_emb = embed(xyz, cfg=mcfg.emb_xyz)  # (R, S, 63)
         sigma = nerf_apply(params, xyz_emb, None, cfg=mcfg.nerf,
                            sigma_only=True, compute_dtype=cfg.compute_dtype)
         rgbs = None
     else:
+        xyz_emb = embed(xyz, cfg=mcfg.emb_xyz)
         rgbs, sigma = nerf_apply(params, xyz_emb, dir_emb[:, None, :],
                                  cfg=mcfg.nerf, sigma_only=False,
                                  compute_dtype=cfg.compute_dtype)
@@ -168,8 +180,8 @@ def render_rays(params: Dict[str, Any],
     xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     coarse = _evaluate_field(
-        params["nerf_coarse"], xyz_coarse, dir_emb, z_vals, dir_norms,
-        k_noise_c, cfg, mcfg, sigma_only=cfg.test_time)
+        params["nerf_coarse"], xyz_coarse, rays_d, dir_emb, z_vals,
+        dir_norms, k_noise_c, cfg, mcfg, sigma_only=cfg.test_time)
 
     if cfg.test_time:
         result = {"opacity_coarse": coarse["opacity"]}
@@ -190,8 +202,8 @@ def render_rays(params: Dict[str, Any],
 
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         fine = _evaluate_field(
-            params["nerf_fine"], xyz_fine, dir_emb, z_all, dir_norms,
-            k_noise_f, cfg, mcfg, sigma_only=False)
+            params["nerf_fine"], xyz_fine, rays_d, dir_emb, z_all,
+            dir_norms, k_noise_f, cfg, mcfg, sigma_only=False)
         result["rgb_fine"] = fine["rgb"]
         result["depth_fine"] = fine["depth"]
         result["opacity_fine"] = fine["opacity"]
