@@ -56,6 +56,8 @@ def get_opts(argv=None):
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--out_dir', type=str, default='results',
                         help='output root directory')
+    parser.add_argument('--fused_mlp', default=False, action='store_true',
+                        help='use the Pallas fused point-MLP kernel')
     return parser.parse_args(argv)
 
 
@@ -106,7 +108,7 @@ def main(argv=None):
         N_samples=args.N_samples, N_importance=args.N_importance,
         use_disp=args.use_disp, perturb=0.0, noise_std=0.0,
         white_back=dataset.white_back, test_time=True,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, fused=args.fused_mlp)
 
     mesh = make_mesh(num_data=min(args.num_chips, len(jax.devices())))
     # Trainer only used as the sharded-render host here.

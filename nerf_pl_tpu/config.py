@@ -56,6 +56,7 @@ class Hparams:
     fused_mlp: bool = False         # use the Pallas fused point-MLP kernel
     seed: int = 42
     num_workers: int = 0            # accepted for parity; data is on-device
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
 
 def get_opts(argv: Optional[List[str]] = None) -> Hparams:
@@ -143,6 +144,9 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
     parser.add_argument('--seed', type=int, default=42, help='PRNG seed')
     parser.add_argument('--num_workers', type=int, default=0,
                         help='unused (data lives on device); kept for parity')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='capture a jax.profiler trace of one training '
+                             'segment into this directory')
 
     args = parser.parse_args(argv)
     return Hparams(**vars(args))

@@ -74,12 +74,13 @@ class NeRFSystem:
             N_samples=hp.N_samples, N_importance=hp.N_importance,
             use_disp=hp.use_disp, perturb=hp.perturb,
             noise_std=hp.noise_std, white_back=white_back,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, fused=hp.fused_mlp)
         # Validation renders clean (no jitter/noise) full images.
         self.rcfg_val = RenderConfig(
             N_samples=hp.N_samples, N_importance=hp.N_importance,
             use_disp=hp.use_disp, perturb=0.0, noise_std=0.0,
-            white_back=white_back, compute_dtype=compute_dtype)
+            white_back=white_back, compute_dtype=compute_dtype,
+            fused=hp.fused_mlp)
 
         self.steps_per_epoch = max(
             1, len(self.train_dataset) // hp.batch_size)
@@ -171,9 +172,13 @@ class NeRFSystem:
 
     # ------------------------------------------------------------------ fit
     def fit(self) -> Dict[str, float]:
+        from ..utils.profiling import PhaseTimer, trace
         hp = self.hparams
-        self.prepare_data()
-        self.setup()
+        timer = self.timer = PhaseTimer()
+        with timer.phase("prepare_data"):
+            self.prepare_data()
+        with timer.phase("setup"):
+            self.setup()
 
         base_key = jax.random.PRNGKey(hp.seed + 1)
         start_step = int(self.state.step)
@@ -191,10 +196,20 @@ class NeRFSystem:
         step = start_step
         t_start = time.time()
         rays_done = 0
+        profiled = False
         while step < total_steps:
             seg = min(hp.scan_steps, total_steps - step)
             epoch_before = step // self.steps_per_epoch
-            self.state, m = self.trainer.run_steps(self.state, base_key, seg)
+            # Profile the second segment (first includes compilation).
+            do_trace = (hp.profile_dir and not profiled and step > 0)
+            with timer.phase("train_segment"), \
+                    trace(hp.profile_dir if do_trace else None):
+                self.state, m = self.trainer.run_steps(
+                    self.state, base_key, seg)
+                jax.block_until_ready(self.state.params)
+            if do_trace:
+                profiled = True
+                print(f"[profile] trace written to {hp.profile_dir}")
             m = {k: np.asarray(v) for k, v in m.items()}
             rays_done += seg * hp.batch_size
             step += seg
@@ -211,15 +226,19 @@ class NeRFSystem:
 
             epoch = step // self.steps_per_epoch
             if epoch > epoch_before or step >= total_steps:
-                val = self.validate(step)
+                with timer.phase("validate"):
+                    val = self.validate(step)
                 metrics = {**val, "epoch": epoch, "step": step}
                 print(f"[val] epoch {epoch} loss={val['val/loss']:.4f} "
                       f"psnr={val['val/psnr']:.2f} "
                       f"ssim={val['val/ssim']:.3f}", flush=True)
-                self.topk.maybe_save(self.state, val["val/loss"], epoch,
-                                     meta={"step": step})
-                save_checkpoint(os.path.join(self.ckpt_dir, "last.ckpt"),
-                                self.state, {"step": step, "epoch": epoch})
+                with timer.phase("checkpoint"):
+                    self.topk.maybe_save(self.state, val["val/loss"], epoch,
+                                         meta={"step": step})
+                    save_checkpoint(
+                        os.path.join(self.ckpt_dir, "last.ckpt"),
+                        self.state, {"step": step, "epoch": epoch})
         if self.writer is not None:
             self.writer.flush()
+        print(f"[profiler]\n{timer.summary()}", flush=True)
         return metrics

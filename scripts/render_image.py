@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Single-image inference: render one pose, report PSNR, depth map, timing.
+
+The script equivalent of the reference's test.ipynb (SURVEY.md C21 / §3.5):
+renders one dataset item through the full coarse+fine pipeline, measures
+secs/frame with a synchronized second render (first render includes
+compilation), and writes the prediction + JET depth map.
+
+    python scripts/render_image.py --root_dir <scene> --dataset_name blender \
+        --split test --idx 0 --img_wh 400 400 --N_importance 64 \
+        --ckpt_path ckpts/exp/last.ckpt [--fused_mlp]
+"""
+import os
+import sys
+import time
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True)
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'llff'])
+    parser.add_argument('--split', type=str, default='test')
+    parser.add_argument('--idx', type=int, default=0,
+                        help='dataset item to render')
+    parser.add_argument('--img_wh', nargs='+', type=int, default=[800, 800])
+    parser.add_argument('--spheric_poses', default=False, action='store_true')
+    parser.add_argument('--N_samples', type=int, default=64)
+    parser.add_argument('--N_importance', type=int, default=64)
+    parser.add_argument('--use_disp', default=False, action='store_true')
+    parser.add_argument('--chunk', type=int, default=32 * 1024)
+    parser.add_argument('--ckpt_path', type=str, required=True)
+    parser.add_argument('--fused_mlp', default=False, action='store_true')
+    parser.add_argument('--out_dir', type=str, default='.')
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from nerf_pl_tpu.datasets import dataset_dict
+    from nerf_pl_tpu.models import init_nerf_params
+    from nerf_pl_tpu.parallel import Trainer, make_mesh
+    from nerf_pl_tpu.rendering import ModelConfig, RenderConfig
+    from nerf_pl_tpu.training import get_optimizer, loss_dict
+    from nerf_pl_tpu.training.checkpoints import load_ckpt
+    from nerf_pl_tpu.training.metrics import psnr as psnr_fn
+    from nerf_pl_tpu.utils.visualization import visualize_depth
+
+    w, h = args.img_wh
+    kwargs = {'root_dir': args.root_dir, 'split': args.split,
+              'img_wh': tuple(args.img_wh)}
+    if args.dataset_name == 'llff':
+        kwargs['spheric_poses'] = args.spheric_poses
+    dataset = dataset_dict[args.dataset_name](**kwargs)
+    sample = dataset[args.idx]
+
+    mcfg = ModelConfig()
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    params = {"nerf_coarse": init_nerf_params(kc, mcfg.nerf),
+              "nerf_fine": init_nerf_params(kf, mcfg.nerf)}
+    params = load_ckpt(params, args.ckpt_path, "nerf_coarse")
+    params = load_ckpt(params, args.ckpt_path, "nerf_fine")
+
+    rcfg = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        use_disp=args.use_disp, white_back=dataset.white_back,
+        test_time=True, fused=args.fused_mlp)
+    mesh = make_mesh(num_data=1)
+    tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
+                 lambda s: 1e-3, loss_dict["mse"], 1)
+    render = tr.render_fn(rcfg, chunk=args.chunk)
+
+    # First render compiles; the second measures steady-state secs/frame
+    # (the reference's torch.cuda.synchronize timing, test.ipynb cell 3).
+    results = render(params, sample['rays'])
+    t0 = time.perf_counter()
+    results = render(params, sample['rays'])
+    dt = time.perf_counter() - t0
+
+    typ = "fine" if args.N_importance > 0 else "coarse"
+    img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
+    os.makedirs(args.out_dir, exist_ok=True)
+    Image.fromarray((img_pred * 255).astype(np.uint8)).save(
+        os.path.join(args.out_dir, f'render_{args.idx:03d}.png'))
+    depth = visualize_depth(results[f'depth_{typ}'].reshape(h, w))
+    Image.fromarray((depth.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+        os.path.join(args.out_dir, f'depth_{args.idx:03d}.png'))
+
+    print(f"secs/frame ({w}x{h}): {dt:.3f}")
+    if 'rgbs' in sample:
+        gt = sample['rgbs'].reshape(h, w, 3)
+        print(f"PSNR: {float(psnr_fn(jnp.asarray(img_pred), jnp.asarray(gt))):.2f}")
+    return dt
+
+
+if __name__ == "__main__":
+    main()
