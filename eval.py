@@ -64,7 +64,7 @@ def get_opts(argv=None):
 def save_gif(path, frames, fps=30):
     try:
         import imageio
-        imageio.mimsave(path, frames, fps=fps)
+        imageio.mimsave(path, frames, duration=1000.0 / fps, loop=0)
     except (ImportError, TypeError):
         from PIL import Image
         imgs = [Image.fromarray(f) for f in frames]

@@ -1,0 +1,149 @@
+"""End-to-end CLI tests on the CPU mesh: eval.py, extract_color_mesh.py,
+scripts/render_image.py, and LLFF training through NeRFSystem."""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nerf_pl_tpu.config import Hparams
+from nerf_pl_tpu.models import init_nerf_params
+from nerf_pl_tpu.training.checkpoints import save_checkpoint
+from nerf_pl_tpu.utils.synthetic import make_blender_scene, make_llff_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return make_blender_scene(
+        str(tmp_path_factory.mktemp("scene")), n_train=3, n_val=1,
+        n_test=2, wh=(20, 20))
+
+
+@pytest.fixture(scope="module")
+def random_ckpt(tmp_path_factory):
+    """A params-only checkpoint with random weights (plumbing tests)."""
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    params = {"nerf_coarse": init_nerf_params(kc),
+              "nerf_fine": init_nerf_params(kf)}
+    path = str(tmp_path_factory.mktemp("ck") / "w.ckpt")
+    save_checkpoint(path, {"params": params})
+    return path
+
+
+class TestEvalCLI:
+    def test_blender_test_split(self, scene, random_ckpt, tmp_path):
+        import eval as eval_cli
+        out = str(tmp_path / "results")
+        psnr = eval_cli.main([
+            "--root_dir", scene, "--dataset_name", "blender",
+            "--scene_name", "t", "--img_wh", "20", "20",
+            "--N_samples", "8", "--N_importance", "4",
+            "--chunk", "256", "--ckpt_path", random_ckpt,
+            "--save_depth", "--out_dir", out])
+        d = os.path.join(out, "blender", "t")
+        assert os.path.exists(os.path.join(d, "000.png"))
+        assert os.path.exists(os.path.join(d, "001.png"))
+        assert os.path.exists(os.path.join(d, "t.gif"))
+        assert os.path.exists(os.path.join(d, "depth_000.pfm"))
+        assert psnr is not None and np.isfinite(psnr)
+
+    def test_llff_spiral_no_gt(self, random_ckpt, tmp_path):
+        import eval as eval_cli
+        root = make_llff_scene(str(tmp_path / "llff"), wh=(20, 16),
+                               n_images=4)
+        out = str(tmp_path / "results")
+        # monkeied down path: 120 spiral poses is slow on CPU; use
+        # test_train (renders the 4 training poses instead)
+        psnr = eval_cli.main([
+            "--root_dir", root, "--dataset_name", "llff",
+            "--split", "test_train", "--scene_name", "sp",
+            "--img_wh", "20", "16", "--N_samples", "8",
+            "--N_importance", "4", "--chunk", "128",
+            "--ckpt_path", random_ckpt, "--out_dir", out])
+        d = os.path.join(out, "llff", "sp")
+        assert os.path.exists(os.path.join(d, "sp.gif"))
+        assert psnr is None  # no GT on test paths
+
+
+class TestRenderImageScript:
+    def test_single_image(self, scene, random_ckpt, tmp_path):
+        from scripts import render_image
+        dt = render_image.main([
+            "--root_dir", scene, "--dataset_name", "blender",
+            "--split", "val", "--idx", "0", "--img_wh", "20", "20",
+            "--N_samples", "8", "--N_importance", "4",
+            "--chunk", "256", "--ckpt_path", random_ckpt,
+            "--out_dir", str(tmp_path)])
+        assert dt > 0
+        assert os.path.exists(str(tmp_path / "render_000.png"))
+        assert os.path.exists(str(tmp_path / "depth_000.png"))
+
+
+class TestSaveWeightsOnlyScript:
+    def test_roundtrip(self, tmp_path):
+        from nerf_pl_tpu.parallel.spmd import TrainState
+        from scripts import save_weights_only as swo
+        import jax.numpy as jnp
+        params = {"nerf_coarse": init_nerf_params(jax.random.PRNGKey(0))}
+        state = TrainState(params, {"mu": params}, jnp.zeros([], jnp.int32))
+        full = str(tmp_path / "full.ckpt")
+        save_checkpoint(full, state)
+        out = str(tmp_path / "slim.ckpt")
+        swo.main(["--ckpt_path", full, "--out", out])
+        assert os.path.getsize(out) < os.path.getsize(full)
+        # the reference's "portable scene" is ~5 MB for 2 MLPs; 1 MLP ~2.4
+        assert os.path.getsize(out) < 4e6
+
+
+@pytest.mark.slow
+class TestMeshCLI:
+    def test_extract_after_short_training(self, tmp_path):
+        """Train briefly so a surface exists, then run the mesh CLI."""
+        from nerf_pl_tpu.training.system import NeRFSystem
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=8,
+                                  n_val=1, n_test=1, wh=(20, 20))
+        os.chdir(tmp_path)
+        hp = Hparams(root_dir=root, dataset_name="blender", img_wh=(20, 20),
+                     N_samples=12, N_importance=6, perturb=1.0,
+                     noise_std=1.0, batch_size=256, num_epochs=30,
+                     lr=7e-4, decay_step=[100], scan_steps=120,
+                     val_chunk=400, exp_name="mesh_e2e")
+        NeRFSystem(hp, enable_tb=False).fit()
+
+        import extract_color_mesh as mesh_cli
+        mesh_cli.main([
+            "--root_dir", root, "--dataset_name", "blender",
+            "--scene_name", "m", "--img_wh", "20", "20",
+            "--N_grid", "48", "--sigma_threshold", "2.0",
+            "--x_range", "-1.3", "1.3", "--y_range", "-1.3", "1.3",
+            "--z_range", "-1.3", "1.3", "--chunk", "4096",
+            "--ckpt_path", "ckpts/mesh_e2e/last.ckpt", "--export_vol",
+            "--out_dir", str(tmp_path)])
+        from nerf_pl_tpu.mesh.ply import read_ply
+        v, t, c = read_ply(str(tmp_path / "m.ply"))
+        assert len(v) > 100 and len(t) > 100
+        assert c is not None
+        # extracted surface should be roughly the unit sphere
+        r = np.linalg.norm(v, axis=1)
+        assert 0.6 < np.median(r) < 1.4
+        assert os.path.exists(str(tmp_path / "m.vol"))
+
+
+@pytest.mark.slow
+class TestLLFFTraining:
+    def test_llff_ndc_fit(self, tmp_path):
+        from nerf_pl_tpu.training.system import NeRFSystem
+        root = make_llff_scene(str(tmp_path / "llff"), wh=(24, 18),
+                               n_images=6)
+        os.chdir(tmp_path)
+        hp = Hparams(root_dir=root, dataset_name="llff", img_wh=(24, 18),
+                     N_samples=12, N_importance=6, perturb=1.0,
+                     noise_std=1.0, batch_size=216, num_epochs=25,
+                     lr=7e-4, decay_step=[100], scan_steps=50,
+                     val_chunk=432, exp_name="llff_e2e")
+        final = NeRFSystem(hp, enable_tb=False).fit()
+        # NDC forward-facing scene must beat a mean-image baseline
+        assert final["val/psnr"] > 14.0
