@@ -177,6 +177,28 @@ def render_rays(params: Dict[str, Any],
             k_perturb, z_vals.shape, dtype=z_vals.dtype)
         z_vals = lower + (upper - lower) * perturb_rand
 
+    if (cfg.fused and cfg.test_time and cfg.perturb == 0
+            and cfg.noise_std == 0):
+        # Fully-fused inference: ray->points->MLP->quadrature in one Pallas
+        # kernel per pass; only per-ray data crosses HBM (~25x less traffic
+        # than the per-point path at full-image scale).
+        from ..ops.fused_render import fused_render_eval, fused_sigma_render
+        weights_c, opacity_c = fused_sigma_render(
+            params["nerf_coarse"], rays, z_vals)
+        result = {"opacity_coarse": opacity_c}
+        if cfg.N_importance > 0:
+            z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+            z_fine = sample_pdf(z_mid, weights_c[:, 1:-1],
+                                cfg.N_importance, det=True, key=k_importance)
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
+                             axis=-1)
+            fine = fused_render_eval(params["nerf_fine"], rays, z_all,
+                                     white_back=cfg.white_back)
+            result["rgb_fine"] = fine["rgb"]
+            result["depth_fine"] = fine["depth"]
+            result["opacity_fine"] = fine["opacity"]
+        return result
+
     xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     coarse = _evaluate_field(

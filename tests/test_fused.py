@@ -138,3 +138,79 @@ class TestFusedRenderer:
         assert len(packed) == 17
         assert packed[4].shape == (7, 256, 256)  # trunk stack
         assert packed[5].shape == (8, 256)       # biases
+
+
+class TestFusedRenderKernels:
+    def _rays(self, R=40, S=32):
+        rng = np.random.default_rng(0)
+        o = rng.normal(size=(R, 3)).astype(np.float32)
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(np.concatenate(
+            [o, d, np.full((R, 1), 2, np.float32),
+             np.full((R, 1), 6, np.float32)], 1))
+        z = jnp.broadcast_to(jnp.linspace(2.0, 6.0, S), (R, S))
+        return rays, z
+
+    def _dense_params(self, key=0):
+        p = init_nerf_params(jax.random.PRNGKey(key))
+        # scale sigma head so the field is non-trivially opaque
+        p["sigma"]["w"] = p["sigma"]["w"] * 50
+        p["sigma"]["b"] = p["sigma"]["b"] + 2.0
+        return p
+
+    def test_full_render_matches_quadrature(self):
+        from nerf_pl_tpu.ops.fused_render import fused_render_eval
+        from nerf_pl_tpu.rendering.render import volume_quadrature
+        params = self._dense_params()
+        rays, z = self._rays()
+        xyz = rays[:, None, :3] + rays[:, None, 3:6] * z[..., None]
+        x_emb = embed(xyz, EmbeddingConfig(3, 10))
+        d_emb = embed(rays[:, 3:6], EmbeddingConfig(3, 4))
+        rgbs, sig = nerf_apply(params, x_emb, d_emb[:, None, :], NeRFConfig())
+        dn = jnp.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+        q = volume_quadrature(sig[..., 0], z, dn, None, rgbs, True)
+        out = fused_render_eval(params, rays, z, white_back=True,
+                                points_per_tile=256)
+        np.testing.assert_allclose(np.asarray(out["rgb"]),
+                                   np.asarray(q["rgb"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out["opacity"]),
+                                   np.asarray(q["opacity"]), atol=1e-2)
+
+    def test_sigma_render_weights(self):
+        from nerf_pl_tpu.ops.fused_render import fused_sigma_render
+        from nerf_pl_tpu.rendering.render import volume_quadrature
+        params = self._dense_params()
+        rays, z = self._rays()
+        xyz = rays[:, None, :3] + rays[:, None, 3:6] * z[..., None]
+        x_emb = embed(xyz, EmbeddingConfig(3, 10))
+        sig = nerf_apply(params, x_emb, None, NeRFConfig(), sigma_only=True)
+        dn = jnp.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+        q = volume_quadrature(sig[..., 0], z, dn, None, None, False)
+        w, op = fused_sigma_render(params, rays, z, points_per_tile=256)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(q["weights"]),
+                                   atol=5e-3)
+
+    def test_render_rays_fused_test_time_path(self):
+        params = {"nerf_coarse": self._dense_params(0),
+                  "nerf_fine": self._dense_params(1)}
+        rays, _ = self._rays()
+        base = dict(N_samples=32, N_importance=16, test_time=True,
+                    white_back=True)
+        o_ref = render_rays(params, rays, jax.random.PRNGKey(0),
+                            RenderConfig(**base))
+        o_f = render_rays(params, rays, jax.random.PRNGKey(0),
+                          RenderConfig(**base, fused=True))
+        assert set(o_ref) == set(o_f)
+        for k in o_ref:
+            np.testing.assert_allclose(np.asarray(o_f[k]),
+                                       np.asarray(o_ref[k]), atol=2e-2)
+
+    def test_ray_padding(self):
+        from nerf_pl_tpu.ops.fused_render import fused_render_eval
+        params = self._dense_params()
+        rays, z = self._rays(R=13, S=32)  # not a multiple of the ray tile
+        out = fused_render_eval(params, rays, z, white_back=False,
+                                points_per_tile=256)
+        assert out["rgb"].shape == (13, 3)
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
