@@ -70,8 +70,7 @@ def main(argv=None):
     from nerf_pl_tpu.mesh.extract import (compute_vertex_normals, export_vol,
                                           fuse_colors_by_projection,
                                           grid_to_world, make_grid,
-                                          query_grid,
-                                          fuse_colors_by_projection)
+                                          query_grid)
     from nerf_pl_tpu.mesh.native import keep_largest_cluster, marching_cubes
     from nerf_pl_tpu.models import init_nerf_params
     from nerf_pl_tpu.rendering import (ModelConfig, RenderConfig,
