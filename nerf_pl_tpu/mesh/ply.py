@@ -2,7 +2,6 @@
 reference extract_color_mesh.py:160-161, 296-297)."""
 from __future__ import annotations
 
-import struct
 from typing import Optional
 
 import numpy as np

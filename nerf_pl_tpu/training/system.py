@@ -23,7 +23,7 @@ from ..datasets import dataset_dict
 from ..models.embedding import EmbeddingConfig
 from ..models.nerf import NeRFConfig
 from ..parallel.mesh import make_mesh
-from ..parallel.spmd import Trainer, TrainState
+from ..parallel.spmd import Trainer
 from ..rendering.render import ModelConfig, RenderConfig
 from ..utils.visualization import visualize_depth
 from .checkpoints import (TopKCheckpoints, load_checkpoint, load_ckpt,
