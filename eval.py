@@ -18,36 +18,36 @@ import numpy as np
 def get_opts(argv=None):
     parser = ArgumentParser()
     parser.add_argument('--root_dir', type=str, required=True,
-                        help='root directory of dataset')
+                        help='path to the scene data directory')
     parser.add_argument('--dataset_name', type=str, default='blender',
                         choices=['blender', 'llff'],
-                        help='which dataset to validate')
+                        help='dataset family (blender or llff)')
     parser.add_argument('--scene_name', type=str, default='test',
-                        help='scene name, used as output folder name')
+                        help='output folder name for this scene')
     parser.add_argument('--split', type=str, default='test',
-                        help='test or test_train')
+                        help='split to render: test (novel path) or test_train (training poses)')
     parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
-                        help='resolution (img_w, img_h) of the image')
+                        help='image resolution as WIDTH HEIGHT')
     parser.add_argument('--spheric_poses', default=False, action="store_true",
-                        help='whether images are taken in spheric poses (for llff)')
+                        help='llff scene captured on a 360-degree (spheric) camera path')
 
     parser.add_argument('--N_samples', type=int, default=64,
-                        help='number of coarse samples')
+                        help='stratified samples per ray for the coarse pass')
     parser.add_argument('--N_importance', type=int, default=128,
-                        help='number of additional fine samples')
+                        help='extra importance-sampled points per ray for the fine pass')
     parser.add_argument('--use_disp', default=False, action="store_true",
-                        help='use disparity depth sampling')
+                        help='sample linearly in disparity instead of depth')
     parser.add_argument('--chunk', type=int, default=32 * 1024,
                         help='rays per render tile')
 
     parser.add_argument('--ckpt_path', type=str, required=True,
-                        help='pretrained checkpoint path to load')
+                        help='trained checkpoint to render from')
 
     parser.add_argument('--save_depth', default=False, action="store_true",
-                        help='whether to save depth prediction')
+                        help='also export per-frame depth maps')
     parser.add_argument('--depth_format', type=str, default='pfm',
                         choices=['pfm', 'bytes'],
-                        help='which format to save')
+                        help='depth export format')
 
     # --- TPU additions ---------------------------------------------------
     parser.add_argument('--num_chips', type=int, default=1,
@@ -100,7 +100,12 @@ def main(argv=None):
     params = {"nerf_coarse": init_nerf_params(kc, mcfg.nerf),
               "nerf_fine": init_nerf_params(kf, mcfg.nerf)}
     params = load_ckpt(params, args.ckpt_path, "nerf_coarse")
-    params = load_ckpt(params, args.ckpt_path, "nerf_fine")
+    if args.N_importance > 0:
+        # A coarse-only checkpoint has no nerf_fine leaves; load_ckpt raises
+        # on the empty match rather than silently rendering from random fine
+        # weights (reference loads fine only when N_importance>0 too,
+        # eval.py:107-110).
+        params = load_ckpt(params, args.ckpt_path, "nerf_fine")
 
     compute_dtype = (jnp.bfloat16 if args.precision == "bfloat16"
                      else jnp.float32)

@@ -16,47 +16,51 @@ import numpy as np
 def get_opts(argv=None):
     parser = ArgumentParser()
     parser.add_argument('--root_dir', type=str, required=True,
-                        help='root directory of dataset')
+                        help='path to the scene data directory')
     parser.add_argument('--dataset_name', type=str, default='blender',
                         choices=['blender', 'llff'],
-                        help='which dataset to validate')
+                        help='dataset family (blender or llff)')
     parser.add_argument('--scene_name', type=str, default='test',
-                        help='scene name, used as output ply filename')
+                        help='name used for the output .ply file')
     parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
-                        help='resolution (img_w, img_h) of the image')
+                        help='image resolution as WIDTH HEIGHT')
 
     parser.add_argument('--N_samples', type=int, default=64,
-                        help='number of samples to infer the acculmulated opacity')
+                        help='coarse samples per occlusion-test ray')
     parser.add_argument('--chunk', type=int, default=32 * 1024,
-                        help='chunk size to split the input to avoid OOM')
+                        help='max points/rays in flight per forward pass (memory bound)')
     parser.add_argument('--ckpt_path', type=str, required=True,
-                        help='pretrained checkpoint path to load')
+                        help='trained checkpoint to extract from')
 
     parser.add_argument('--N_grid', type=int, default=256,
-                        help='size of the grid on 1 side, larger=higher resolution')
+                        help='sigma-grid resolution per axis (larger = finer mesh)')
     parser.add_argument('--x_range', nargs="+", type=float, default=[-1.0, 1.0],
-                        help='x range of the object')
+                        help='object bounding range on x')
     parser.add_argument('--y_range', nargs="+", type=float, default=[-1.0, 1.0],
-                        help='y range of the object')
+                        help='object bounding range on y')
     parser.add_argument('--z_range', nargs="+", type=float, default=[-1.0, 1.0],
-                        help='z range of the object')
+                        help='object bounding range on z')
     parser.add_argument('--sigma_threshold', type=float, default=20.0,
-                        help='threshold to consider a location is occupied')
+                        help='sigma above which a grid cell counts as occupied')
     parser.add_argument('--occ_threshold', type=float, default=0.2,
                         help='''threshold to consider a vertex is occluded.
                                 larger=fewer occluded pixels''')
 
     #### method using vertex normals ####
     parser.add_argument('--use_vertex_normal', action="store_true",
-                        help='use vertex normals to compute color')
+                        help='color vertices by rendering along vertex normals instead of projecting into training views')
     parser.add_argument('--N_importance', type=int, default=64,
-                        help='number of fine samples to infer the acculmulated opacity')
+                        help='fine samples per occlusion-test ray')
     parser.add_argument('--near_t', type=float, default=1.0,
-                        help='the near bound factor to start the ray')
+                        help='fraction of the camera-to-vertex distance at which occlusion rays start')
 
     # --- TPU additions ---------------------------------------------------
     parser.add_argument('--export_vol', action="store_true",
                         help='also export a Unity .vol packed RGBA volume')
+    parser.add_argument('--mesh_format', type=str, default='ply',
+                        choices=['ply', 'dae'],
+                        help='output mesh format (dae covers the reference '
+                             'notebook\'s COLLADA export)')
     parser.add_argument('--out_dir', type=str, default='.',
                         help='output directory')
     return parser.parse_args(argv)
@@ -66,7 +70,7 @@ def main(argv=None):
     import jax
 
     from nerf_pl_tpu.datasets import dataset_dict
-    from nerf_pl_tpu.mesh import write_ply
+    from nerf_pl_tpu.mesh import write_dae, write_ply
     from nerf_pl_tpu.mesh.extract import (compute_vertex_normals, export_vol,
                                           fuse_colors_by_projection,
                                           grid_to_world, make_grid,
@@ -147,9 +151,11 @@ def main(argv=None):
             params_fine, vertices_world, dataset, tuple(args.img_wh),
             args.N_samples, args.chunk, args.occ_threshold, mcfg)
 
-    out_ply = os.path.join(args.out_dir, f'{args.scene_name}.ply')
-    write_ply(out_ply, vertices_world, triangles, v_colors)
-    print(f'Done! {out_ply}', flush=True)
+    out_mesh = os.path.join(args.out_dir,
+                            f'{args.scene_name}.{args.mesh_format}')
+    writer = write_dae if args.mesh_format == 'dae' else write_ply
+    writer(out_mesh, vertices_world, triangles, v_colors)
+    print(f'Done! {out_mesh}', flush=True)
 
     if args.export_vol:
         out_vol = os.path.join(args.out_dir, f'{args.scene_name}.vol')

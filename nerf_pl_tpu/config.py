@@ -64,70 +64,70 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
 
     parser.add_argument('--root_dir', type=str,
                         default='/data/nerf_synthetic/lego',
-                        help='root directory of dataset')
+                        help='path to the scene data directory')
     parser.add_argument('--dataset_name', type=str, default='blender',
                         choices=['blender', 'llff'],
-                        help='which dataset to train/val')
+                        help='dataset family (synthetic blender scenes or COLMAP llff scenes)')
     parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
-                        help='resolution (img_w, img_h) of the image')
+                        help='image resolution as WIDTH HEIGHT')
     parser.add_argument('--spheric_poses', default=False, action="store_true",
-                        help='whether images are taken in spheric poses (for llff)')
+                        help='llff scene captured on a 360-degree (spheric) camera path')
 
     parser.add_argument('--N_samples', type=int, default=64,
-                        help='number of coarse samples')
+                        help='stratified samples per ray for the coarse pass')
     parser.add_argument('--N_importance', type=int, default=128,
-                        help='number of additional fine samples')
+                        help='extra importance-sampled points per ray for the fine pass')
     parser.add_argument('--use_disp', default=False, action="store_true",
-                        help='use disparity depth sampling')
+                        help='sample linearly in disparity instead of depth')
     parser.add_argument('--perturb', type=float, default=1.0,
-                        help='factor to perturb depth sampling points')
+                        help='stratified-jitter strength for depth samples (0 disables)')
     parser.add_argument('--noise_std', type=float, default=1.0,
-                        help='std dev of noise added to regularize sigma')
+                        help='stddev of the gaussian noise regularizing raw sigma')
 
     parser.add_argument('--loss_type', type=str, default='mse',
-                        choices=['mse'], help='loss to use')
+                        choices=['mse'], help='training loss')
 
     parser.add_argument('--batch_size', type=int, default=1024,
                         help='batch size (global, across all chips)')
     parser.add_argument('--chunk', type=int, default=32 * 1024,
-                        help='chunk size to split the input to avoid OOM')
+                        help='max rays in flight per forward pass (memory bound); caps the val/eval render tile')
     parser.add_argument('--num_epochs', type=int, default=16,
-                        help='number of training epochs')
+                        help='epochs to train for')
     parser.add_argument('--num_gpus', '--num_chips', type=int, default=1,
                         dest='num_gpus',
                         help='number of TPU chips on the data axis')
 
     parser.add_argument('--ckpt_path', type=str, default=None,
-                        help='pretrained checkpoint path to load')
+                        help='checkpoint to resume or warm-start from')
     parser.add_argument('--prefixes_to_ignore', nargs='+', type=str,
                         default=['loss'],
-                        help='the prefixes to ignore in the checkpoint state dict')
+                        help='parameter-path prefixes skipped during partial checkpoint loads')
 
     parser.add_argument('--optimizer', type=str, default='adam',
                         choices=['sgd', 'adam', 'radam', 'ranger'],
-                        help='optimizer type')
+                        help='optimizer family')
     parser.add_argument('--lr', type=float, default=5e-4,
-                        help='learning rate')
+                        help='base learning rate')
     parser.add_argument('--momentum', type=float, default=0.9,
-                        help='learning rate momentum')
+                        help='sgd momentum coefficient')
     parser.add_argument('--weight_decay', type=float, default=0,
-                        help='weight decay')
+                        help='L2 weight-decay coefficient')
     parser.add_argument('--lr_scheduler', type=str, default='steplr',
                         choices=['steplr', 'cosine', 'poly'],
-                        help='scheduler type')
+                        help='learning-rate schedule family')
     parser.add_argument('--warmup_multiplier', type=float, default=1.0,
-                        help='lr is multiplied by this factor after --warmup_epochs')
+                        help='target multiple of the base lr reached at the end of warmup')
     parser.add_argument('--warmup_epochs', type=int, default=0,
-                        help='Gradually warm-up(increasing) learning rate in optimizer')
+                        help='epochs over which to linearly ramp up the learning rate')
     parser.add_argument('--decay_step', nargs='+', type=int, default=[20],
-                        help='scheduler decay step')
+                        help='epoch milestones at which steplr multiplies the lr by --decay_gamma')
     parser.add_argument('--decay_gamma', type=float, default=0.1,
-                        help='learning rate decay amount')
+                        help='multiplicative lr decay factor at each milestone')
     parser.add_argument('--poly_exp', type=float, default=0.9,
-                        help='exponent for polynomial learning rate decay')
+                        help='power of the polynomial lr decay curve')
 
     parser.add_argument('--exp_name', type=str, default='exp',
-                        help='experiment name')
+                        help='run name used for log and checkpoint directories')
 
     # --- TPU-native additions -------------------------------------------
     parser.add_argument('--precision', type=str, default='float32',

@@ -79,6 +79,7 @@ class Trainer:
         self.all_rays = None
         self.all_rgbs = None
         self._run_steps = None
+        self._reshuffle = None
         self._render_cache: Dict[Any, Callable] = {}
 
     # ---------------------------------------------------------------- data
@@ -105,6 +106,35 @@ class Trainer:
         self.all_rays = jax.device_put(all_rays, sh)
         self.all_rgbs = jax.device_put(all_rgbs, sh)
         self.n_rays_local = all_rays.shape[0] // self.n_data
+        # steps covering one pass over a local shard (DataLoader-epoch analog)
+        self.steps_per_epoch_local = max(1, self.n_rays_local
+                                         // self.batch_local)
+
+    def reshuffle(self, key: jax.Array):
+        """Per-epoch reshuffle: physically re-permute each device's shard.
+
+        The reference reshuffles rays every epoch via DataLoader(shuffle=True)
+        (train.py:89-94). Here each device applies a fresh
+        `jax.random.permutation` to its local shard in HBM — one gather per
+        epoch instead of one per step, so per-step sampling stays a
+        sequential DMA. Shards never exchange rays (the initial global host
+        shuffle in set_data already mixed images across devices), matching
+        torch DistributedSampler's per-rank semantics."""
+        if self._reshuffle is None:
+            def local(rays_l, rgbs_l, key):
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+                perm = jax.random.permutation(key, rays_l.shape[0])
+                return jnp.take(rays_l, perm, axis=0), \
+                    jnp.take(rgbs_l, perm, axis=0)
+
+            smapped = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P("data"), P("data"), P()),
+                out_specs=(P("data"), P("data")),
+                check_vma=False)
+            self._reshuffle = jax.jit(smapped, donate_argnums=(0, 1))
+        self.all_rays, self.all_rgbs = self._reshuffle(
+            self.all_rays, self.all_rgbs, key)
 
     # --------------------------------------------------------------- state
     def init_state(self, key: jax.Array,
@@ -128,20 +158,23 @@ class Trainer:
         return TrainState(params, opt_state, step)
 
     # --------------------------------------------------------------- train
-    def _sample_batch(self, all_rays, all_rgbs, key: jax.Array):
-        """Per-device uniform gather from the local ray-store shard.
+    def _sample_batch(self, all_rays, all_rgbs, step: jnp.ndarray):
+        """Per-device sequential epoch-order read from the local shard.
+
+        Step i of an epoch reads block [i*b, (i+1)*b) of the (per-epoch
+        re-permuted, see `reshuffle`) local shard — every ray is visited
+        exactly once per pass, matching DataLoader(shuffle=True) epoch
+        semantics (reference train.py:89-94), and the read is a sequential
+        DMA, not a random gather.
 
         NOTE: the ray store MUST flow in as a traced argument — a closure
         capture would embed the whole store as an HLO constant (hundreds of
         MB for real scenes), exploding compile time."""
-        n_local = self.n_rays_local
         b_local = self.batch_local
+        spe = self.steps_per_epoch_local
 
-        def local(rays_l, rgbs_l, key):
-            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-            # Contiguous block at a random offset into the pre-shuffled
-            # local shard: sequential DMA, uniform without-replacement.
-            off = jax.random.randint(key, (), 0, n_local - b_local + 1)
+        def local(rays_l, rgbs_l, step):
+            off = (step % spe) * b_local
             rays = jax.lax.dynamic_slice(rays_l, (off, 0), (b_local, 8))
             rgbs = jax.lax.dynamic_slice(rgbs_l, (off, 0), (b_local, 3))
             return rays, rgbs
@@ -151,12 +184,12 @@ class Trainer:
             in_specs=(P("data"), P("data"), P()),
             out_specs=(P("data"), P("data")),
             check_vma=False,
-        )(all_rays, all_rgbs, key)
+        )(all_rays, all_rgbs, step)
 
     def _one_step(self, state: TrainState, all_rays, all_rgbs,
                   key: jax.Array):
-        k_sample, k_render = jax.random.split(key)
-        rays, rgbs = self._sample_batch(all_rays, all_rgbs, k_sample)
+        k_render = key
+        rays, rgbs = self._sample_batch(all_rays, all_rgbs, state.step)
 
         def loss_of(params):
             out = render_rays(params, rays, k_render, self.rcfg_train,

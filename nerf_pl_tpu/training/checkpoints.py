@@ -107,9 +107,14 @@ def extract_model_state_dict(ckpt_path: str, model_name: str = "nerf_coarse",
             continue
         rel = "/".join(parts[1:])
         if any(rel.startswith(p) for p in prefixes_to_ignore):
-            print("ignore", rel)
+            print(f"[load_ckpt] ignoring {model_name}/{rel}")
             continue
         out[rel] = arr
+    if not out:
+        raise KeyError(
+            f"checkpoint {ckpt_path!r} contains no leaves for model "
+            f"{model_name!r} (after filtering {list(prefixes_to_ignore)}); "
+            f"available roots: {sorted({k.split('/')[0] for k in arrays})}")
     return out
 
 
@@ -124,10 +129,17 @@ def load_ckpt(params: Dict[str, Any], ckpt_path: str,
                                       prefixes_to_ignore)
     model = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     target = {k: dict(v) for k, v in model[model_name].items()}
+    n_matched = 0
     for rel, arr in loaded.items():
         layer, leaf = rel.split("/")
         if layer in target and leaf in target[layer]:
             target[layer][leaf] = np.asarray(arr)
+            n_matched += 1
+    if n_matched == 0:
+        raise KeyError(
+            f"checkpoint {ckpt_path!r} has {len(loaded)} leaves for "
+            f"{model_name!r} but none match the current parameter tree — "
+            f"refusing a silent no-op load")
     model = dict(model)
     model[model_name] = target
     return model
@@ -150,7 +162,11 @@ class TopKCheckpoints:
     """Keep the k best checkpoints by a monitored value (lower is better).
 
     Mirrors lightning's ModelCheckpoint(save_top_k, monitor='val/loss',
-    mode='min') used at reference train.py:154-158."""
+    mode='min') used at reference train.py:154-158. The (monitored, path)
+    bookkeeping is persisted to `topk.json` in the checkpoint directory on
+    every save and reloaded on construction, so a resumed run keeps evicting
+    correctly relative to pre-restart checkpoints (lightning gets this by
+    pickling the callback inside the ckpt)."""
 
     def __init__(self, ckpt_dir: str, k: int = 5,
                  filename: str = "epoch={epoch}.ckpt"):
@@ -159,6 +175,19 @@ class TopKCheckpoints:
         self.filename = filename
         self.entries: List[Tuple[float, str]] = []  # (monitored, path)
         os.makedirs(ckpt_dir, exist_ok=True)
+        self._state_path = os.path.join(ckpt_dir, "topk.json")
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                saved = json.load(f)
+            # drop entries whose files were deleted out-of-band
+            self.entries = [(float(m), p) for m, p in saved.get("entries", [])
+                            if os.path.exists(p)]
+
+    def _persist(self):
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"k": self.k, "entries": self.entries}, f)
+        os.replace(tmp, self._state_path)
 
     def maybe_save(self, state, monitored: float, epoch: int,
                    meta: Optional[Dict[str, Any]] = None) -> Optional[str]:
@@ -172,12 +201,15 @@ class TopKCheckpoints:
         meta = dict(meta or {})
         meta.update({"epoch": epoch, "monitored": float(monitored)})
         save_checkpoint(path, state, meta)
+        # re-saving the same epoch path replaces its old entry
+        self.entries = [e for e in self.entries if e[1] != path]
         self.entries.append((float(monitored), path))
         if len(self.entries) > self.k:
             worst = max(self.entries, key=lambda e: e[0])
             self.entries.remove(worst)
             if worst[1] != path and os.path.exists(worst[1]):
                 os.remove(worst[1])
+        self._persist()
         return path
 
     @property

@@ -94,9 +94,11 @@ def get_optimizer(name: str,
             optax.scale_by_learning_rate(learning_rate),
         )
     if name == "ranger":
+        # Reference Ranger defaults differ from RAdam's: betas=(0.95, 0.999),
+        # eps=1e-5 (utils/optimizers.py:268).
         inner = optax.chain(
             *_maybe_l2(weight_decay),
-            optax.scale_by_radam(eps=eps),
+            optax.scale_by_radam(b1=0.95, b2=0.999, eps=1e-5),
             optax.scale_by_learning_rate(learning_rate),
         )
         return lookahead(inner, sync_period=6, slow_step_size=0.5)

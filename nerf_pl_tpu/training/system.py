@@ -137,7 +137,10 @@ class NeRFSystem:
                  ) -> Dict[str, float]:
         hp = self.hparams
         W, H = hp.img_wh
-        render = self.trainer.render_fn(self.rcfg_val, chunk=hp.val_chunk)
+        # --chunk bounds rays-in-flight exactly as in the reference forward
+        # loop (train.py:53-63); --val_chunk is the TPU tile-size knob.
+        render = self.trainer.render_fn(self.rcfg_val,
+                                        chunk=min(hp.val_chunk, hp.chunk))
         typ = "fine" if hp.N_importance > 0 else "coarse"
         losses, psnrs, ssims = [], [], []
         n_items = len(self.val_dataset) if max_items is None else min(
@@ -182,6 +185,11 @@ class NeRFSystem:
 
         base_key = jax.random.PRNGKey(hp.seed + 1)
         start_step = int(self.state.step)
+        # Replay the per-epoch shuffles a resumed run already consumed so the
+        # store order matches the uninterrupted run.
+        for e in range(1, start_step // self.steps_per_epoch + 1):
+            self.trainer.reshuffle(
+                jax.random.fold_in(jax.random.PRNGKey(hp.seed + 2), e))
         total_steps = hp.num_epochs * self.steps_per_epoch
         print(f"[fit] {hp.num_epochs} epochs x {self.steps_per_epoch} "
               f"steps/epoch = {total_steps} steps "
@@ -225,6 +233,14 @@ class NeRFSystem:
                   f"({rate:,.0f} rays/s)", flush=True)
 
             epoch = step // self.steps_per_epoch
+            if epoch > epoch_before and step < total_steps:
+                # DataLoader(shuffle=True)-style per-epoch reshuffle of the
+                # on-device ray store (reference train.py:89-94). Key is a
+                # pure function of (seed, epoch) so resume replays the same
+                # shuffle sequence.
+                self.trainer.reshuffle(
+                    jax.random.fold_in(jax.random.PRNGKey(hp.seed + 2),
+                                       epoch))
             if epoch > epoch_before or step >= total_steps:
                 with timer.phase("validate"):
                     val = self.validate(step)

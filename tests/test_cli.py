@@ -82,6 +82,28 @@ class TestRenderImageScript:
         assert os.path.exists(str(tmp_path / "depth_000.png"))
 
 
+class TestPreviewBoundsScript:
+    def test_slices_and_suggestion(self, random_ckpt, tmp_path):
+        """extract_mesh.ipynb cells 2-5 equivalent: sigma-slice previews +
+        suggested tight bounds + optional colorless preview mesh."""
+        from scripts import preview_bounds
+        out = str(tmp_path / "bp")
+        mesh_path = str(tmp_path / "prev.dae")
+        bounds = preview_bounds.main([
+            "--ckpt_path", random_ckpt, "--N_grid", "24",
+            "--sigma_threshold", "0.05", "--chunk", "4096",
+            "--n_slices", "4", "--preview_mesh", mesh_path,
+            "--out_dir", out])
+        for ax in "xyz":
+            assert os.path.exists(os.path.join(out, f"slices_{ax}.png"))
+            lo, hi = bounds[ax]
+            assert -1.2 <= lo <= hi <= 1.2
+        if os.path.exists(mesh_path):  # surface exists at this threshold
+            from nerf_pl_tpu.mesh import read_dae
+            v, t, c = read_dae(mesh_path)
+            assert len(t) > 0 and c is None
+
+
 class TestSaveWeightsOnlyScript:
     def test_roundtrip(self, tmp_path):
         from nerf_pl_tpu.parallel.spmd import TrainState

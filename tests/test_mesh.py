@@ -96,6 +96,35 @@ class TestPly:
         assert c2 is None
 
 
+class TestDae:
+    def test_roundtrip_colored(self, tmp_path, rng):
+        from nerf_pl_tpu.mesh import read_dae, write_dae
+        v = rng.random((10, 3)).astype(np.float32)
+        t = rng.integers(0, 10, (7, 3)).astype(np.int64)
+        c = rng.integers(0, 255, (10, 3)).astype(np.uint8)
+        path = str(tmp_path / "m.dae")
+        write_dae(path, v, t, c)
+        v2, t2, c2 = read_dae(path)
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+        np.testing.assert_array_equal(t2, t)
+        np.testing.assert_allclose(c2, c.astype(np.float32) / 255, atol=1e-5)
+
+    def test_roundtrip_plain_and_valid_xml(self, tmp_path, rng):
+        from xml.etree import ElementTree as ET
+        from nerf_pl_tpu.mesh import read_dae, write_dae
+        v = rng.random((5, 3)).astype(np.float32)
+        t = np.array([[0, 1, 2], [2, 3, 4]], np.int64)
+        path = str(tmp_path / "m.dae")
+        write_dae(path, v, t)
+        root = ET.parse(path).getroot()  # well-formed XML
+        assert root.tag.endswith("COLLADA")
+        assert root.get("version") == "1.4.1"
+        v2, t2, c2 = read_dae(path)
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+        np.testing.assert_array_equal(t2, t)
+        assert c2 is None
+
+
 class TestExtractHelpers:
     def test_grid_world_roundtrip(self):
         # a grid vertex at index (i,j,k) -> world must land inside ranges,

@@ -122,6 +122,82 @@ class TestTrainer:
         np.testing.assert_allclose(np.asarray(m["lr"]), 5e-4, rtol=1e-6)
 
 
+class TestEpochSampling:
+    """DataLoader(shuffle=True) parity: exact per-epoch coverage plus a fresh
+    per-epoch permutation of the on-device store (reference train.py:89-94)."""
+
+    def test_epoch_covers_every_ray_once(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs = make_data(4096)
+        # tag each ray with a unique id in the (unused-by-sampling) rgb slot
+        rgbs = np.arange(4096, dtype=np.float32)[:, None].repeat(3, 1)
+        tr.set_data(rays, rgbs)
+        assert tr.steps_per_epoch_local == 4096 // 8 // 32  # b_local = 32
+        seen = []
+        for step in range(tr.steps_per_epoch_local):
+            _, got = tr._sample_batch(tr.all_rays, tr.all_rgbs,
+                                      jnp.asarray(step, jnp.int32))
+            seen.append(np.asarray(got)[:, 0])
+        ids = np.concatenate(seen)
+        assert ids.shape == (4096,)
+        assert np.array_equal(np.sort(ids), np.arange(4096))  # each once
+
+    def test_next_epoch_repeats_without_reshuffle(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        tr.set_data(*make_data(2048))
+        spe = tr.steps_per_epoch_local
+        a, _ = tr._sample_batch(tr.all_rays, tr.all_rgbs,
+                                jnp.asarray(0, jnp.int32))
+        b, _ = tr._sample_batch(tr.all_rays, tr.all_rgbs,
+                                jnp.asarray(spe, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_reshuffle_permutes_but_preserves_shards(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs = make_data(2048)
+        tr.set_data(rays, rgbs)
+        before = [np.asarray(s.data) for s in tr.all_rays.addressable_shards]
+        tr.reshuffle(jax.random.PRNGKey(3))
+        after = [np.asarray(s.data) for s in tr.all_rays.addressable_shards]
+        changed = False
+        for b, a in zip(before, after):
+            # same multiset of rows per shard (no cross-device mixing)...
+            bs = b[np.lexsort(b.T)]
+            as_ = a[np.lexsort(a.T)]
+            np.testing.assert_allclose(bs, as_)
+            changed |= not np.array_equal(b, a)
+        assert changed  # ...but a genuinely new order somewhere
+
+    def test_reshuffle_keeps_ray_rgb_pairing(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, _ = make_data(2048)
+        # rgb row = function of ray row so pairing is checkable post-shuffle
+        rgbs = rays[:, :3] * 0.5 + 0.25
+        tr.set_data(rays, rgbs.astype(np.float32))
+        tr.reshuffle(jax.random.PRNGKey(7))
+        r = np.asarray(tr.all_rays)
+        c = np.asarray(tr.all_rgbs)
+        np.testing.assert_allclose(c, r[:, :3] * 0.5 + 0.25, atol=1e-6)
+
+    def test_training_descends_across_reshuffles(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh)
+        tr.set_data(*make_data())
+        state = tr.init_state(jax.random.PRNGKey(0))
+        losses = []
+        for epoch in range(4):
+            state, m = tr.run_steps(state, jax.random.PRNGKey(1), 16)
+            losses.append(np.asarray(m["loss"]))
+            tr.reshuffle(jax.random.fold_in(jax.random.PRNGKey(2), epoch))
+        losses = np.concatenate(losses)
+        assert np.all(np.isfinite(losses))
+        assert losses[-16:].mean() < losses[:16].mean()
+
+
 class TestTensorParallel:
     def test_tp_matches_dp_numerics(self):
         rays, rgbs = make_data()
