@@ -58,6 +58,19 @@ def get_opts(argv=None):
                         help='output root directory')
     parser.add_argument('--fused_mlp', default=False, action='store_true',
                         help='use the Pallas fused point-MLP kernel')
+    parser.add_argument('--occ_grid', default=False, action='store_true',
+                        help='occupancy-grid empty-space skipping (exact-'
+                             'parity ray culling; grid built once, reused '
+                             'for every frame)')
+    parser.add_argument('--occ_threshold', type=float, default=1.0,
+                        help='sigma above which a grid cell is occupied')
+    parser.add_argument('--occ_range', nargs=2, type=float,
+                        default=[-1.5, 1.5],
+                        help='world extent of the occupancy grid per axis')
+    parser.add_argument('--occ_N', type=int, default=128,
+                        help='occupancy grid resolution per axis')
+    parser.add_argument('--occ_tighten', default=False, action='store_true',
+                        help='clip surviving rays to their occupied interval')
     return parser.parse_args(argv)
 
 
@@ -115,14 +128,30 @@ def main(argv=None):
         white_back=dataset.white_back, test_time=True,
         compute_dtype=compute_dtype, fused=args.fused_mlp)
 
-    mesh = make_mesh(num_data=min(args.num_chips, len(jax.devices())))
-    # Trainer only used as the sharded-render host here.
-    tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
-                 lambda s: 1e-3, loss_dict["mse"], mesh.shape["data"])
-    params = jax.device_put(
-        params, jax.sharding.NamedSharding(mesh,
-                                           jax.sharding.PartitionSpec()))
-    render = tr.render_fn(rcfg, chunk=args.chunk)
+    if args.occ_grid:
+        from nerf_pl_tpu.rendering import CulledRenderer, build_occupancy_grid
+        occ = build_occupancy_grid(
+            params["nerf_fine" if args.N_importance > 0 else "nerf_coarse"],
+            mcfg, N=args.occ_N, block=max(args.occ_N // 16, 1),
+            ranges=tuple(args.occ_range),
+            sigma_threshold=args.occ_threshold)
+        print(f"[occ] {occ.n_boxes} boxes, "
+              f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
+                            tighten=args.occ_tighten)
+
+        def render(params, rays):
+            out = cr(params, jnp.asarray(rays))
+            return {k: np.asarray(v) for k, v in out.items()}
+    else:
+        mesh = make_mesh(num_data=min(args.num_chips, len(jax.devices())))
+        # Trainer only used as the sharded-render host here.
+        tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
+                     lambda s: 1e-3, loss_dict["mse"], mesh.shape["data"])
+        params = jax.device_put(
+            params, jax.sharding.NamedSharding(mesh,
+                                               jax.sharding.PartitionSpec()))
+        render = tr.render_fn(rcfg, chunk=args.chunk)
 
     typ = "fine" if args.N_importance > 0 else "coarse"
     dir_name = os.path.join(args.out_dir, args.dataset_name, args.scene_name)

@@ -158,7 +158,8 @@ def fused_render_eval(params: Dict, rays: jnp.ndarray, z_vals: jnp.ndarray,
     Returns dict rgb (R, 3), depth (R,), opacity (R,).
     """
     R, S = z_vals.shape
-    r_tile = max(points_per_tile // S, 8)
+    # sublane rule: ray-tile must be a multiple of 8
+    r_tile = max((points_per_tile // S) // 8 * 8, 8)
     pad = (-R) % r_tile
     if pad:
         rays = jnp.concatenate(
@@ -192,7 +193,8 @@ def fused_sigma_render(params: Dict, rays: jnp.ndarray, z_vals: jnp.ndarray,
 
     Returns (weights (R, S), opacity (R,))."""
     R, S = z_vals.shape
-    r_tile = max(points_per_tile // S, 8)
+    # sublane rule: ray-tile must be a multiple of 8
+    r_tile = max((points_per_tile // S) // 8 * 8, 8)
     pad = (-R) % r_tile
     if pad:
         rays = jnp.concatenate(

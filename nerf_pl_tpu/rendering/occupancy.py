@@ -1,0 +1,347 @@
+"""Occupancy-grid empty-space skipping for inference (TPU-native design).
+
+Reference capability: sub-second full-image rendering (test.ipynb cell 3
+secs/frame; BASELINE.md north star <1 s @ 800x800). The reference has no
+acceleration structure — this module adds NerfAcc-style empty-space skipping
+redesigned for TPU constraints:
+
+  * TPU gathers are slow (~120M lookups/s measured on v5e via jnp.take), so
+    per-SAMPLE occupancy lookups (the CUDA-native NerfAcc design: 82M grid
+    reads per 800x800 frame) would cost as much as the MLP itself. Instead
+    the binary sigma grid is compiled into a small set of world-space AABBs
+    (run-length-merged occupied blocks), and rays are culled by a
+    `lax.scan` of analytic ray/box slab tests — pure VPU vector math, zero
+    gathers, O(K_boxes) fused passes over the ray batch.
+  * All shapes stay static: surviving rays are compacted ON DEVICE by a
+    stable argsort on the miss flag; the host reads back ONE scalar (the
+    survivor count) and picks a pre-compiled tile-count bucket. Culled rays
+    never touch the MLP; their pixels get the analytic background.
+  * The sigma-grid build runs on device end-to-end (iota-generated cell
+    centers -> sigma-only MLP -> threshold -> 1-cell dilation -> per-block
+    any-reduction); only the tiny (B,B,B) block map crosses the tunnel.
+
+Parity contract: surviving rays run the UNMODIFIED coarse+fine pipeline with
+identical z sampling, so the only output difference vs the dense render is
+on rays the (dilated, conservatively thresholded) grid proves empty — their
+dense-render opacity is ~0 and rgb ~background. Validated by the PSNR-delta
+check in tests/bench notes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.embedding import embed
+from ..models.nerf import nerf_apply
+from .render import ModelConfig, RenderConfig, render_rays
+
+
+# --------------------------------------------------------------------- build
+
+def _sigma_block_map(params: Dict, mcfg: ModelConfig, N: int, block: int,
+                     lo: jnp.ndarray, hi: jnp.ndarray,
+                     sigma_threshold: float, chunk: int) -> jnp.ndarray:
+    """Device-side: (B, B, B) uint8 block occupancy, B = N // block.
+
+    Cell centers are generated with iota (nothing large is uploaded),
+    sigma is queried with the plain XLA sigma-only MLP (works for any
+    architecture), the binary grid is dilated by one cell (3^3 max-pool via
+    rolls), then reduced to per-block any()."""
+    cell = (hi - lo) / N
+
+    def centers(flat_idx):
+        iz = flat_idx % N
+        iy = (flat_idx // N) % N
+        ix = flat_idx // (N * N)
+        ijk = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+        return lo + (ijk + 0.5) * cell
+
+    n_pts = N * N * N
+    n_chunks = -(-n_pts // chunk)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 0) * chunk \
+        + jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+
+    def one_chunk(flat_idx):
+        xyz = centers(flat_idx)                        # (chunk, 3)
+        emb = embed(xyz, cfg=mcfg.emb_xyz)
+        sigma = nerf_apply(params, emb, None, cfg=mcfg.nerf, sigma_only=True)
+        return sigma[..., 0]
+
+    sigma = jax.lax.map(one_chunk, idx).reshape(-1)[:n_pts]
+    occ = (sigma > sigma_threshold).reshape(N, N, N)
+
+    # one-cell dilation: 3x3x3 max-pool as OR of rolls (cheap, conservative)
+    dil = occ
+    for axis in range(3):
+        dil = dil | jnp.roll(dil, 1, axis) | jnp.roll(dil, -1, axis)
+    # jnp.roll wraps; kill the wrapped faces (index 0 picked up N-1's value)
+    # by intersecting with a validity band is unnecessary: wrap-around only
+    # ever ADDS occupancy (conservative), never removes it.
+
+    B = N // block
+    blocks = dil.reshape(B, block, B, block, B, block)
+    return jnp.any(blocks, axis=(1, 3, 5)).astype(jnp.uint8)
+
+
+def _blocks_to_boxes(block_map: np.ndarray, lo: np.ndarray,
+                     hi: np.ndarray) -> np.ndarray:
+    """(B,B,B) bool -> (K, 6) world AABBs [lo_xyz, hi_xyz].
+
+    Boxes are z-run-length merged per (x, y) block column, then adjacent
+    boxes with identical (x-range, z-range) merge along y — typically a few
+    dozen to a few hundred boxes for an object-centric scene."""
+    B = block_map.shape[0]
+    size = (hi - lo) / B
+    raw = []  # (ix0, ix1, iy0, iy1, iz0, iz1) exclusive-hi in block units
+    occ = block_map.astype(bool)
+    for ix in range(B):
+        for iy in range(B):
+            col = occ[ix, iy]
+            iz = 0
+            while iz < B:
+                if col[iz]:
+                    z0 = iz
+                    while iz < B and col[iz]:
+                        iz += 1
+                    raw.append([ix, ix + 1, iy, iy + 1, z0, iz])
+                else:
+                    iz += 1
+    # merge along y: same ix-range and z-range, contiguous iy
+    raw.sort(key=lambda b: (b[0], b[4], b[5], b[2]))
+    merged = []
+    for b in raw:
+        if (merged and merged[-1][0] == b[0] and merged[-1][1] == b[1]
+                and merged[-1][4] == b[4] and merged[-1][5] == b[5]
+                and merged[-1][3] == b[2]):
+            merged[-1][3] = b[3]
+        else:
+            merged.append(list(b))
+    # merge along x: same iy-range and z-range, contiguous ix
+    merged.sort(key=lambda b: (b[2], b[3], b[4], b[5], b[0]))
+    out = []
+    for b in merged:
+        if (out and out[-1][2] == b[2] and out[-1][3] == b[3]
+                and out[-1][4] == b[4] and out[-1][5] == b[5]
+                and out[-1][1] == b[0]):
+            out[-1][1] = b[1]
+        else:
+            out.append(list(b))
+    if not out:
+        return np.zeros((0, 6), np.float32)
+    idx = np.asarray(out, np.float32)                  # (K, 6)
+    boxes = np.empty((len(out), 6), np.float32)
+    boxes[:, 0:3] = lo + idx[:, 0::2] * size           # lo corners
+    boxes[:, 3:6] = lo + idx[:, 1::2] * size           # hi corners
+    return boxes
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyGrid:
+    """World-space AABB decomposition of a trained model's occupied set."""
+    boxes: np.ndarray          # (K, 6) [lo_xyz, hi_xyz]
+    block_map: np.ndarray      # (B, B, B) uint8 (kept for previews/tests)
+    lo: np.ndarray             # (3,) world min corner of the grid
+    hi: np.ndarray             # (3,) world max corner
+
+    @property
+    def n_boxes(self) -> int:
+        return len(self.boxes)
+
+    @property
+    def occupied_fraction(self) -> float:
+        return float(self.block_map.astype(np.float64).mean())
+
+
+def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
+                         N: int = 128, block: int = 8,
+                         ranges: Tuple[float, float] = (-1.5, 1.5),
+                         sigma_threshold: float = 1.0,
+                         chunk: int = 128 * 1024,
+                         max_boxes: int = 512) -> OccupancyGrid:
+    """Build the culling structure from a trained (fine) model's sigma field.
+
+    Args:
+      params: ONE model's parameter dict (normally nerf_fine).
+      ranges: symmetric world extent (lo, hi) on every axis, or a
+        ((lo3), (hi3)) pair for anisotropic scenes.
+      sigma_threshold: conservative occupancy cut — keep low (default 1.0;
+        alpha of a 0.02-long step at sigma=1 is ~2%).
+      block: fine cells per block edge; boxes are block-resolution.
+    """
+    if np.ndim(ranges[0]) == 0:
+        lo = np.full(3, ranges[0], np.float32)
+        hi = np.full(3, ranges[1], np.float32)
+    else:
+        lo = np.asarray(ranges[0], np.float32)
+        hi = np.asarray(ranges[1], np.float32)
+    assert N % block == 0, f"N={N} must be divisible by block={block}"
+
+    fn = jax.jit(functools.partial(
+        _sigma_block_map, mcfg=mcfg, N=N, block=block,
+        sigma_threshold=float(sigma_threshold), chunk=chunk))
+    block_map = np.asarray(fn(params, lo=jnp.asarray(lo), hi=jnp.asarray(hi)))
+
+    boxes = _blocks_to_boxes(block_map, lo, hi)
+    while len(boxes) > max_boxes and block < N:
+        block *= 2
+        B = N // block
+        bb = block_map
+        # coarsen the existing block map instead of re-querying sigma
+        s = bb.shape[0] // B
+        bb = bb.reshape(B, s, B, s, B, s).any(axis=(1, 3, 5)).astype(np.uint8)
+        block_map = bb
+        boxes = _blocks_to_boxes(block_map, lo, hi)
+    return OccupancyGrid(boxes=boxes, block_map=block_map, lo=lo, hi=hi)
+
+
+# ------------------------------------------------------------------ culling
+
+def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
+    """Slab-test every ray against every AABB; no gathers, scan over boxes.
+
+    Args:
+      boxes: (K, 6) AABBs.  rays: (R, 8).
+
+    Returns (hit (R,) bool, t_lo (R,), t_hi (R,)): whether any box overlaps
+    the ray's [near, far], and the union interval of all overlaps (clamped
+    to [near, far]; t_lo > t_hi when no hit).
+    """
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+
+    def body(carry, box):
+        hit, tlo, thi = carry
+        t1 = (box[0:3] - o) * inv                      # (R, 3)
+        t2 = (box[3:6] - o) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        tmin = jnp.maximum(tmin, near)
+        tmax = jnp.minimum(tmax, far)
+        valid = tmax >= tmin
+        hit = hit | valid
+        tlo = jnp.where(valid, jnp.minimum(tlo, tmin), tlo)
+        thi = jnp.where(valid, jnp.maximum(thi, tmax), thi)
+        return (hit, tlo, thi), None
+
+    init = (jnp.zeros(rays.shape[0], bool), jnp.full_like(near, jnp.inf),
+            jnp.full_like(near, -jnp.inf))
+    (hit, tlo, thi), _ = jax.lax.scan(body, init, boxes)
+    return hit, tlo, thi
+
+
+class CulledRenderer:
+    """Full-image renderer with occupancy culling (single-chip inference).
+
+    Host orchestration with static-shape device programs:
+      1. one jitted cull pass: hit test + stable argsort compaction
+         (survivors first) — host reads back ONE scalar (survivor count);
+      2. a per-bucket jitted render+scatter pass over ceil(n/chunk) tiles
+         (bucketed to powers of two so at most log2(R/chunk) programs
+         compile); culled pixels keep the analytic background.
+
+    `tighten=True` additionally clips each surviving ray's [near, far] to
+    the union of its box overlaps (plus a margin) — concentrates all
+    N_samples in occupied space (better quality per sample, slightly
+    different output than the dense render).
+    """
+
+    def __init__(self, occ: OccupancyGrid, rcfg: RenderConfig,
+                 mcfg: ModelConfig = ModelConfig(), chunk: int = 20480,
+                 tighten: bool = False, tighten_margin: float = 0.05):
+        if occ.n_boxes == 0:
+            raise ValueError("occupancy grid is empty — threshold too high?")
+        self.boxes = jnp.asarray(occ.boxes)
+        self.rcfg = rcfg
+        self.mcfg = mcfg
+        self.chunk = chunk
+        self.tighten = tighten
+        self.margin = tighten_margin
+        self._programs: Dict[int, Any] = {}
+        self._cull = None
+
+    def _cull_fn(self):
+        if self._cull is not None:
+            return self._cull
+        tighten, margin = self.tighten, self.margin
+
+        @jax.jit
+        def cull(boxes, rays):
+            hit, tlo, thi = ray_box_hits(boxes, rays)
+            if tighten:
+                near = jnp.where(hit, jnp.maximum(rays[:, 6], tlo - margin),
+                                 rays[:, 6])
+                far_ = jnp.where(hit, jnp.minimum(rays[:, 7], thi + margin),
+                                 rays[:, 7])
+                far_ = jnp.maximum(far_, near + 1e-4)
+                rays = jnp.concatenate(
+                    [rays[:, :6], near[:, None], far_[:, None]], axis=1)
+            order = jnp.argsort(~hit, stable=True)     # survivors first
+            rays_sorted = jnp.take(rays, order, axis=0)
+            return rays_sorted, order, jnp.sum(hit.astype(jnp.int32))
+
+        self._cull = cull
+        return cull
+
+    def _program(self, n_tiles: int, R: int):
+        key = (n_tiles, R)
+        if key in self._programs:
+            return self._programs[key]
+        chunk, rcfg, mcfg = self.chunk, self.rcfg, self.mcfg
+        white = rcfg.white_back
+
+        @jax.jit
+        def run(params, rays_sorted, order, key_):
+            n = n_tiles * chunk
+            tiles = rays_sorted[:n].reshape(n_tiles, chunk, 8)
+            out = jax.lax.map(
+                lambda r: render_rays(params, r, key_, rcfg, mcfg), tiles)
+            flat = {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
+            n_scatter = min(n, R)
+            idx = order[:n_scatter]
+            typ = "fine" if rcfg.N_importance > 0 else "coarse"
+            bg_rgb = 1.0 if white else 0.0
+            img = {
+                f"rgb_{typ}": jnp.full((R, 3), bg_rgb, jnp.float32),
+                f"depth_{typ}": jnp.zeros((R,), jnp.float32),
+                f"opacity_{typ}": jnp.zeros((R,), jnp.float32),
+            }
+            for k in img:
+                if k in flat:
+                    img[k] = img[k].at[idx].set(flat[k][:n_scatter])
+            return img
+
+        self._programs[key] = run
+        return run
+
+    def __call__(self, params, rays, key: Optional[jax.Array] = None,
+                 return_stats: bool = False):
+        """Render (R, 8) rays -> dict of (R, ...) arrays (device)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        R = rays.shape[0]
+        rays = jnp.asarray(rays)
+        rays_sorted, order, n_hit = self._cull_fn()(self.boxes, rays)
+        n = int(n_hit)                                  # scalar readback
+        n_tiles_exact = max(1, -(-n // self.chunk))
+        # bucket to an even tile count (≤8% waste, ≤ R/(2*chunk) programs)
+        n_tiles = min(n_tiles_exact + (n_tiles_exact % 2),
+                      -(-R // self.chunk))
+        # pad the sorted rays so n_tiles*chunk rows always exist; padded
+        # rows duplicate the last real ray (rendered then dropped)
+        total = n_tiles * self.chunk
+        if total > R:
+            rays_sorted = jnp.concatenate(
+                [rays_sorted,
+                 jnp.broadcast_to(rays_sorted[-1:], (total - R, 8))], 0)
+        out = self._program(n_tiles, R)(params, rays_sorted, order, key)
+        if return_stats:
+            return out, {"n_rays": R, "n_survivors": n,
+                         "n_rendered": total, "n_boxes": self.boxes.shape[0]}
+        return out

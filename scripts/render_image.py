@@ -36,6 +36,20 @@ def main(argv=None):
     parser.add_argument('--chunk', type=int, default=32 * 1024)
     parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--fused_mlp', default=False, action='store_true')
+    parser.add_argument('--occ_grid', default=False, action='store_true',
+                        help='build an occupancy grid and skip empty-space '
+                             'rays (exact-parity culling)')
+    parser.add_argument('--occ_threshold', type=float, default=1.0,
+                        help='sigma above which a grid cell is occupied')
+    parser.add_argument('--occ_range', nargs=2, type=float,
+                        default=[-1.5, 1.5],
+                        help='world extent of the occupancy grid per axis')
+    parser.add_argument('--occ_N', type=int, default=128,
+                        help='occupancy grid resolution per axis')
+    parser.add_argument('--occ_tighten', default=False, action='store_true',
+                        help='also clip each surviving ray to its occupied '
+                             'interval (concentrates samples; output no '
+                             'longer bit-exact with the dense render)')
     parser.add_argument('--out_dir', type=str, default='.')
     args = parser.parse_args(argv)
 
@@ -71,10 +85,31 @@ def main(argv=None):
         N_samples=args.N_samples, N_importance=args.N_importance,
         use_disp=args.use_disp, white_back=dataset.white_back,
         test_time=True, fused=args.fused_mlp)
-    mesh = make_mesh(num_data=1)
-    tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
-                 lambda s: 1e-3, loss_dict["mse"], 1)
-    render = tr.render_fn(rcfg, chunk=args.chunk)
+
+    if args.occ_grid:
+        from nerf_pl_tpu.rendering import CulledRenderer, build_occupancy_grid
+        t0 = time.perf_counter()
+        occ = build_occupancy_grid(
+            params["nerf_fine" if args.N_importance > 0 else "nerf_coarse"],
+            mcfg, N=args.occ_N, block=max(args.occ_N // 16, 1),
+            ranges=tuple(args.occ_range),
+            sigma_threshold=args.occ_threshold)
+        print(f"occupancy grid: {occ.n_boxes} boxes, "
+              f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
+              f"({time.perf_counter() - t0:.1f}s build)")
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=args.chunk,
+                            tighten=args.occ_tighten)
+
+        def render(params, rays):
+            out, stats = cr(params, jnp.asarray(rays), return_stats=True)
+            print(f"  culled {stats['n_rays'] - stats['n_survivors']}"
+                  f"/{stats['n_rays']} rays")
+            return {k: np.asarray(v) for k, v in out.items()}
+    else:
+        mesh = make_mesh(num_data=1)
+        tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
+                     lambda s: 1e-3, loss_dict["mse"], 1)
+        render = tr.render_fn(rcfg, chunk=args.chunk)
 
     # First render compiles; the second measures steady-state secs/frame
     # (the reference's torch.cuda.synchronize timing, test.ipynb cell 3).

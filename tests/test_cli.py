@@ -50,6 +50,21 @@ class TestEvalCLI:
         assert os.path.exists(os.path.join(d, "depth_000.pfm"))
         assert psnr is not None and np.isfinite(psnr)
 
+    def test_occ_grid_eval(self, scene, random_ckpt, tmp_path):
+        """eval.py --occ_grid plumbing: culled path writes the same outputs."""
+        import eval as eval_cli
+        out = str(tmp_path / "results_occ")
+        psnr = eval_cli.main([
+            "--root_dir", scene, "--dataset_name", "blender",
+            "--scene_name", "oc", "--img_wh", "20", "20",
+            "--N_samples", "8", "--N_importance", "4",
+            "--chunk", "128", "--ckpt_path", random_ckpt,
+            "--occ_grid", "--occ_threshold", "-100", "--occ_N", "16",
+            "--out_dir", out])
+        d = os.path.join(out, "blender", "oc")
+        assert os.path.exists(os.path.join(d, "000.png"))
+        assert psnr is not None and np.isfinite(psnr)
+
     def test_llff_spiral_no_gt(self, random_ckpt, tmp_path):
         import eval as eval_cli
         root = make_llff_scene(str(tmp_path / "llff"), wh=(20, 16),

@@ -1,0 +1,189 @@
+"""Occupancy-grid empty-space skipping: box building, ray/AABB culling,
+and culled-vs-dense render parity on a trained tiny scene."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_pl_tpu.models import EmbeddingConfig, NeRFConfig, init_nerf_params
+from nerf_pl_tpu.rendering import (CulledRenderer, ModelConfig, RenderConfig,
+                                   build_occupancy_grid, ray_box_hits,
+                                   render_rays_chunked)
+from nerf_pl_tpu.rendering.occupancy import (OccupancyGrid, _blocks_to_boxes,
+                                             _sigma_block_map)
+
+
+def small_mcfg():
+    return ModelConfig(
+        nerf=NeRFConfig(D=2, W=32, in_channels_xyz=27, in_channels_dir=15,
+                        skips=(1,)),
+        emb_xyz=EmbeddingConfig(3, 4),
+        emb_dir=EmbeddingConfig(3, 2))
+
+
+def brute_force_hits(boxes, rays):
+    """Numpy reference: per-ray any-box slab test + union interval."""
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    hit = np.zeros(len(rays), bool)
+    tlo = np.full(len(rays), np.inf)
+    thi = np.full(len(rays), -np.inf)
+    for b in boxes:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (b[0:3] - o) / d
+            t2 = (b[3:6] - o) / d
+        tmin = np.maximum(np.nanmin([t1, t2], axis=0).max(-1), near)
+        tmax = np.minimum(np.nanmax([t1, t2], axis=0).min(-1), far)
+        valid = tmax >= tmin
+        hit |= valid
+        tlo = np.where(valid, np.minimum(tlo, tmin), tlo)
+        thi = np.where(valid, np.maximum(thi, tmax), thi)
+    return hit, tlo, thi
+
+
+class TestRayBoxHits:
+    def test_matches_brute_force(self, rng):
+        boxes = []
+        for _ in range(13):
+            lo = rng.uniform(-2, 1.5, 3)
+            boxes.append(np.concatenate([lo, lo + rng.uniform(0.1, 1.0, 3)]))
+        boxes = np.asarray(boxes, np.float32)
+        R = 512
+        o = rng.normal(size=(R, 3)).astype(np.float32) * 3
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = np.concatenate(
+            [o, d, np.full((R, 1), 0.1, np.float32),
+             np.full((R, 1), 8.0, np.float32)], 1)
+        hit, tlo, thi = jax.jit(ray_box_hits)(jnp.asarray(boxes),
+                                              jnp.asarray(rays))
+        bf_hit, bf_tlo, bf_thi = brute_force_hits(boxes, rays)
+        np.testing.assert_array_equal(np.asarray(hit), bf_hit)
+        m = bf_hit
+        np.testing.assert_allclose(np.asarray(tlo)[m], bf_tlo[m], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(thi)[m], bf_thi[m], rtol=1e-4)
+
+    def test_axis_aligned_ray(self):
+        boxes = jnp.asarray([[-1, -1, -1, 1, 1, 1]], jnp.float32)
+        rays = jnp.asarray([[0, 0, -5, 0, 0, 1, 0.1, 10.0],   # through
+                            [0, 3, -5, 0, 0, 1, 0.1, 10.0],   # misses
+                            [0, 0, -5, 0, 0, 1, 0.1, 2.0]],   # too short
+                           jnp.float32)
+        hit, tlo, thi = ray_box_hits(boxes, rays)
+        assert list(np.asarray(hit)) == [True, False, False]
+        np.testing.assert_allclose(float(tlo[0]), 4.0, atol=1e-5)
+        np.testing.assert_allclose(float(thi[0]), 6.0, atol=1e-5)
+
+
+class TestBoxBuilding:
+    def test_boxes_cover_exactly(self, rng):
+        """Voxelizing the merged boxes back must reproduce the block map."""
+        B = 8
+        lo = np.array([-1, -1, -1], np.float32)
+        hi = np.array([1, 1, 1], np.float32)
+        bm = (rng.random((B, B, B)) < 0.25).astype(np.uint8)
+        boxes = _blocks_to_boxes(bm, lo, hi)
+        size = (hi - lo) / B
+        recon = np.zeros((B, B, B), np.uint8)
+        for b in boxes:
+            i0 = np.round((b[0:3] - lo) / size).astype(int)
+            i1 = np.round((b[3:6] - lo) / size).astype(int)
+            assert (recon[i0[0]:i1[0], i0[1]:i1[1], i0[2]:i1[2]] == 0).all(), \
+                "boxes overlap"
+            recon[i0[0]:i1[0], i0[1]:i1[1], i0[2]:i1[2]] = 1
+        np.testing.assert_array_equal(recon, bm)
+
+    def test_merging_reduces_count(self):
+        bm = np.zeros((8, 8, 8), np.uint8)
+        bm[2:6, 2:6, 2:6] = 1  # solid cube: 16 columns -> merge to 1 box
+        boxes = _blocks_to_boxes(bm, np.zeros(3, np.float32),
+                                 np.ones(3, np.float32))
+        assert len(boxes) == 1
+        np.testing.assert_allclose(boxes[0], [0.25, 0.25, 0.25,
+                                              0.75, 0.75, 0.75], atol=1e-6)
+
+    def test_empty_map(self):
+        boxes = _blocks_to_boxes(np.zeros((4, 4, 4), np.uint8),
+                                 np.zeros(3, np.float32),
+                                 np.ones(3, np.float32))
+        assert boxes.shape == (0, 6)
+
+
+class TestSigmaBlockMap:
+    def test_matches_direct_eval(self, rng):
+        """Device block map == numpy-side thresholded+dilated+pooled grid."""
+        from nerf_pl_tpu.models.embedding import embed
+        from nerf_pl_tpu.models.nerf import nerf_apply
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(3), mcfg.nerf)
+        N, block = 8, 4
+        lo = jnp.asarray([-1.0, -1.0, -1.0])
+        hi = jnp.asarray([1.0, 1.0, 1.0])
+        thresh = 0.0  # random init: sigma straddles 0
+        bm = np.asarray(_sigma_block_map(params, mcfg, N, block, lo, hi,
+                                         thresh, chunk=64))
+        # direct reference evaluation
+        cell = (np.asarray(hi) - np.asarray(lo)) / N
+        ax = np.arange(N)
+        ix, iy, iz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = np.stack([ix, iy, iz], -1).reshape(-1, 3).astype(np.float32)
+        xyz = np.asarray(lo) + (pts + 0.5) * cell
+        sig = np.asarray(nerf_apply(
+            params, embed(jnp.asarray(xyz), cfg=mcfg.emb_xyz), None,
+            cfg=mcfg.nerf, sigma_only=True))[..., 0]
+        occ = (sig > thresh).reshape(N, N, N)
+        dil = occ
+        for axis in range(3):
+            dil = dil | np.roll(dil, 1, axis) | np.roll(dil, -1, axis)
+        B = N // block
+        expect = dil.reshape(B, block, B, block, B, block).any(
+            axis=(1, 3, 5)).astype(np.uint8)
+        np.testing.assert_array_equal(bm, expect)
+
+
+@pytest.mark.slow
+class TestCulledRenderParity:
+    def test_culled_matches_dense(self, tmp_path):
+        """Train a tiny scene, build the grid, culled render ~= dense render
+        (the VERDICT PSNR-delta contract, scaled down)."""
+        import os
+        from nerf_pl_tpu.config import Hparams
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_blender_scene
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=8,
+                                  n_val=1, n_test=1, wh=(20, 20))
+        os.chdir(tmp_path)
+        hp = Hparams(root_dir=root, dataset_name="blender", img_wh=(20, 20),
+                     N_samples=12, N_importance=6, perturb=1.0,
+                     noise_std=1.0, batch_size=256, num_epochs=12,
+                     lr=7e-4, decay_step=[100], scan_steps=96,
+                     val_chunk=400, exp_name="occ_e2e")
+        system = NeRFSystem(hp, enable_tb=False)
+        system.fit()
+        params_full = {k: v for k, v in system.state.params.items()}
+
+        occ = build_occupancy_grid(
+            params_full["nerf_fine"], system.mcfg, N=32, block=4,
+            ranges=(-1.6, 1.6), sigma_threshold=0.5, chunk=2048)
+        assert 0 < occ.n_boxes <= 512
+        assert 0 < occ.occupied_fraction < 1.0
+
+        rcfg = RenderConfig(N_samples=12, N_importance=6, test_time=True,
+                            white_back=True)
+        sample = system.val_dataset[0]
+        rays = jnp.asarray(sample["rays"])
+        dense = render_rays_chunked(params_full, rays, jax.random.PRNGKey(0),
+                                    rcfg, system.mcfg, chunk=400)
+        culled = CulledRenderer(occ, rcfg, system.mcfg, chunk=100)
+        out, stats = culled(params_full, rays, return_stats=True)
+        assert 0 < stats["n_survivors"] <= stats["n_rays"]
+
+        rgb_d = np.asarray(dense["rgb_fine"])
+        rgb_c = np.asarray(out["rgb_fine"])
+        mse_delta = float(np.mean((rgb_d - rgb_c) ** 2))
+        # culled pixels replace near-background values with exact background
+        assert mse_delta < 1e-4, f"culled render deviates: mse {mse_delta}"
+        # and the GT-PSNR must be essentially unchanged
+        gt = np.asarray(sample["rgbs"])
+        psnr = lambda a: -10 * np.log10(np.mean((a - gt) ** 2))
+        assert abs(psnr(rgb_c) - psnr(rgb_d)) < 0.05
