@@ -27,7 +27,7 @@ def main():
     batch = 1024
     mesh = make_mesh(num_data=1)
     rcfg = RenderConfig(N_samples=64, N_importance=64, perturb=1.0,
-                        noise_std=1.0, white_back=True, fused=True)
+                        noise_std=1.0, white_back=True, fused_train=True)
     sched = get_lr_schedule("steplr", 5e-4, 16, 1000, decay_step=[2, 4, 8],
                             decay_gamma=0.5)
     opt = get_optimizer("adam", sched)

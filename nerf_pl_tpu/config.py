@@ -54,6 +54,8 @@ class Hparams:
     log_every: int = 100            # steps between scalar logs
     scan_steps: int = 100           # steps fused into one on-device lax.scan
     fused_mlp: bool = False         # use the Pallas fused point-MLP kernel
+    fused_train: bool = False       # fully-fused train step (MLP+quadrature
+                                    # fwd/bwd in single Pallas kernels)
     seed: int = 42
     num_workers: int = 0            # accepted for parity; data is on-device
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
@@ -141,6 +143,10 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                         help='train steps fused into one on-device lax.scan')
     parser.add_argument('--fused_mlp', default=False, action='store_true',
                         help='use the Pallas fused point-MLP kernel')
+    parser.add_argument('--fused_train', default=False, action='store_true',
+                        help='fully-fused training step: MLP + volume '
+                             'quadrature forward/backward in single Pallas '
+                             'kernels (fastest; default NeRF arch only)')
     parser.add_argument('--seed', type=int, default=42, help='PRNG seed')
     parser.add_argument('--num_workers', type=int, default=0,
                         help='unused (data lives on device); kept for parity')

@@ -168,11 +168,13 @@ def _forward_body(p8, d8, consts, ws_, keep_acts: bool):
     h = _cast(jnp.maximum(_dot(p8, w0r) + _dot(ex, w0e) + bt[0][None], 0.0))
     if keep_acts:
         acts.append(h)
-    skip = _dot(p8, wskr) + _dot(ex, wske)
     for i in range(1, D):
         t = _dot(h, wt[i - 1]) + bt[i][None]
         if i == SKIP_LAYER:
-            t = t + skip
+            # computed at the use site: an upfront skip buffer stays live
+            # (f32, tile x W) across the whole trunk and blows the VMEM
+            # budget at larger tiles
+            t = t + _dot(p8, wskr) + _dot(ex, wske)
         h = _cast(jnp.maximum(t, 0.0))
         if keep_acts:
             acts.append(h)
@@ -198,20 +200,84 @@ def _fwd_kernel(x_ref, d_ref, fx_ref, mx_ref, fd_ref, md_ref, *refs):
     out_ref[:, 4:8] = jnp.zeros_like(out_ref[:, 4:8])
 
 
+def _mlp_grads(x, d, ws_, fwd, g_rgb8, g_sigma8, acc):
+    """Weight gradients of the MLP for per-point cotangents, accumulated
+    IN PLACE into the acc refs (packed layout, f32).
+
+    Args:
+      x, d: (T, IN_P) packed raw inputs.
+      ws_: unpacked weight buffers.  fwd: _forward_body(keep_acts=True) out.
+      g_rgb8: (T, 8) cotangent on post-sigmoid rgb (cols 0..2).
+      g_sigma8: (T, 8) cotangent on raw sigma (col 0).
+      acc: N_PACKED refs matching pack_params layout (zeroed on the first
+        grid step by the caller).
+
+    In-place accumulation keeps each gradient block's lifetime to one
+    `+=` — materializing all 17 blocks as transients (incl. a stacked
+    (7, 256, 256) trunk buffer) pushed the backward kernels over the
+    16 MB scoped-VMEM budget. Shared by the point-MLP VJP kernel and the
+    fused train-render kernel."""
+    (w0r, w0e, wskr, wske, wt, bt, wf, bf, wdf, wddr, wdde, bd, ws, bs,
+     wr, br, _) = ws_
+    sigma8, rgb8, feat, hd, ex, ed, acts = fwd
+    (a_w0r, a_w0e, a_wskr, a_wske, a_wt, a_bt, a_wf, a_bf, a_wdf, a_wddr,
+     a_wdde, a_bd, a_ws, a_bs, a_wr, a_br, _unused) = acc
+
+    # rgb head (sigmoid)
+    dz_r = g_rgb8 * rgb8 * (1.0 - rgb8)
+    a_wr[:] += _dot_t(hd, dz_r)
+    a_br[:] += jnp.sum(dz_r, axis=0, keepdims=True)
+    d_hd = _dot(dz_r, wr.T)
+
+    # view branch (relu). NOTE: compare in f32 — Mosaic on v5e rejects
+    # bf16 vector comparisons.
+    dz_d = jnp.where(hd.astype(jnp.float32) > 0, d_hd, 0.0)
+    a_wdf[:] += _dot_t(feat, dz_d)
+    a_wddr[:] += _dot_t(d, dz_d)
+    a_wdde[:] += _dot_t(ed, dz_d)
+    a_bd[:] += jnp.sum(dz_d, axis=0, keepdims=True)
+    d_feat = _dot(dz_d, wdf.T)
+
+    # feature layer (linear)
+    h_last = acts[-1]
+    a_wf[:] += _dot_t(h_last, d_feat)
+    a_bf[:] += jnp.sum(d_feat, axis=0, keepdims=True)
+    d_h = _dot(d_feat, wf.T)
+
+    # sigma head (linear)
+    a_ws[:] += _dot_t(h_last, g_sigma8)
+    a_bs[:] += jnp.sum(g_sigma8, axis=0, keepdims=True)
+    d_h = d_h + _dot(g_sigma8, ws.T)
+
+    # trunk layers D-1 .. 1
+    for i in range(D - 1, 0, -1):
+        dz = jnp.where(acts[i].astype(jnp.float32) > 0, d_h, 0.0)
+        a_wt[i - 1, :, :] += _dot_t(acts[i - 1], dz)
+        a_bt[i, :] += jnp.sum(dz, axis=0)
+        d_h = _dot(dz, wt[i - 1].T)
+        if i == SKIP_LAYER:
+            a_wskr[:] += _dot_t(x, dz)
+            a_wske[:] += _dot_t(ex, dz)
+
+    dz0 = jnp.where(acts[0].astype(jnp.float32) > 0, d_h, 0.0)
+    a_w0r[:] += _dot_t(x, dz0)
+    a_w0e[:] += _dot_t(ex, dz0)
+    a_bt[0, :] += jnp.sum(dz0, axis=0)
+
+
 def _bwd_kernel(x_ref, d_ref, fx_ref, mx_ref, fd_ref, md_ref, *refs):
     consts_n = (fx_ref[:], mx_ref[:], fd_ref[:], md_ref[:])
     w_refs = refs[:N_PACKED]
     g_ref = refs[N_PACKED]
-    out_refs = refs[N_PACKED + 1:N_PACKED + 1 + N_PACKED]
-    acc_refs = refs[N_PACKED + 1 + N_PACKED:]
+    # Outputs double as accumulators: every grid step maps to block 0, so
+    # the buffers stay VMEM-resident across the sequential grid and flush
+    # to HBM once (a separate scratch copy would duplicate ~2.4 MB).
+    acc_refs = refs[N_PACKED + 1:]
 
     x = x_ref[:]
     d = d_ref[:]
     ws_ = [r[:] for r in w_refs]
-    (w0r, w0e, wskr, wske, wt, bt, wf, bf, wdf, wddr, wdde, bd, ws, bs,
-     wr, br, _) = ws_
-    sigma8, rgb8, feat, hd, ex, ed, acts = _forward_body(
-        x, d, consts_n, ws_, keep_acts=True)
+    fwd = _forward_body(x, d, consts_n, ws_, keep_acts=True)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -224,61 +290,7 @@ def _bwd_kernel(x_ref, d_ref, fx_ref, mx_ref, fd_ref, md_ref, *refs):
     g_rgb8 = jnp.concatenate([g[:, 0:3], zeros5], axis=1)
     g_sigma8 = jnp.concatenate([g[:, 3:4], zeros7], axis=1)
 
-    # rgb head (sigmoid)
-    dz_r = g_rgb8 * rgb8 * (1.0 - rgb8)
-    d_wr = _dot_t(hd, dz_r)
-    d_br = jnp.sum(dz_r, axis=0, keepdims=True)
-    d_hd = _dot(dz_r, wr.T)
-
-    # view branch (relu). NOTE: compare in f32 — Mosaic on v5e rejects
-    # bf16 vector comparisons.
-    dz_d = jnp.where(hd.astype(jnp.float32) > 0, d_hd, 0.0)
-    d_wdf = _dot_t(feat, dz_d)
-    d_wddr = _dot_t(d, dz_d)
-    d_wdde = _dot_t(ed, dz_d)
-    d_bd = jnp.sum(dz_d, axis=0, keepdims=True)
-    d_feat = _dot(dz_d, wdf.T)
-
-    # feature layer (linear)
-    h_last = acts[-1]
-    d_wf = _dot_t(h_last, d_feat)
-    d_bf = jnp.sum(d_feat, axis=0, keepdims=True)
-    d_h = _dot(d_feat, wf.T)
-
-    # sigma head (linear)
-    d_ws = _dot_t(h_last, g_sigma8)
-    d_bs = jnp.sum(g_sigma8, axis=0, keepdims=True)
-    d_h = d_h + _dot(g_sigma8, ws.T)
-
-    # trunk layers D-1 .. 1
-    d_wt = [None] * (D - 1)
-    d_bt = [None] * D
-    d_wskr = None
-    d_wske = None
-    for i in range(D - 1, 0, -1):
-        dz = jnp.where(acts[i].astype(jnp.float32) > 0, d_h, 0.0)
-        d_wt[i - 1] = _dot_t(acts[i - 1], dz)
-        d_bt[i] = jnp.sum(dz, axis=0)
-        d_h = _dot(dz, wt[i - 1].T)
-        if i == SKIP_LAYER:
-            d_wskr = _dot_t(x, dz)
-            d_wske = _dot_t(ex, dz)
-
-    dz0 = jnp.where(acts[0].astype(jnp.float32) > 0, d_h, 0.0)
-    d_w0r = _dot_t(x, dz0)
-    d_w0e = _dot_t(ex, dz0)
-    d_bt[0] = jnp.sum(dz0, axis=0)
-
-    grads = (d_w0r, d_w0e, d_wskr, d_wske, jnp.stack(d_wt),
-             jnp.stack(d_bt), d_wf, d_bf, d_wdf, d_wddr, d_wdde, d_bd,
-             d_ws, d_bs, d_wr, d_br, jnp.zeros((1, 1), jnp.float32))
-    for r, gval in zip(acc_refs, grads):
-        r[:] += gval
-
-    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
-    def _():
-        for o, r in zip(out_refs, acc_refs):
-            o[:] = r[:]
+    _mlp_grads(x, d, ws_, fwd, g_rgb8, g_sigma8, acc_refs)
 
 
 def _const_block(arr):
@@ -308,6 +320,12 @@ def _precast(packed):
 def _interpret() -> bool:
     """Pallas interpreter mode on non-TPU backends (CPU test mesh)."""
     return jax.default_backend() != "tpu"
+
+
+# Mosaic's scoped-VMEM default (16 MB) is far below v5e's physical 128 MB;
+# raising it lets the backward kernels keep whole-tile activations resident
+# at 4x the tile size, quartering the sequential-grid fixed costs.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _consts():
@@ -349,6 +367,7 @@ def _fused_fwd_call(packed, x_pad, d_pad, tile):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(x_pad, d_pad, *_consts(), *packed)
 
 
@@ -356,11 +375,15 @@ def _fused_fwd(packed, x_pad, d_pad, tile):
     return _fused_fwd_call(packed, x_pad, d_pad, tile), (packed, x_pad, d_pad)
 
 
+_BWD_TILE = 512  # module-level cap: acts + weights + grad accumulators
+                 # must fit the ~16MB VMEM budget
+
+
 def _fused_bwd(tile, residuals, g):
     packed, x_pad, d_pad = residuals
     # The backward keeps 8 remat'd activations per point in VMEM: cap the
-    # tile so acts + weights + grad accumulators fit the ~16MB budget.
-    tile = min(tile, 512)
+    # tile so acts + weights + grad accumulators fit the VMEM budget.
+    tile = min(tile, _BWD_TILE)
     P = x_pad.shape[0]
     grid = (P // tile,)
     in_specs = (
@@ -375,7 +398,6 @@ def _fused_bwd(tile, residuals, g):
     out_shapes = tuple(jax.ShapeDtypeStruct(p.shape, jnp.float32)
                        for p in packed)
     out_specs = tuple(_const_block(p) for p in packed)
-    scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in packed]
     packed = _precast(packed)
     grads = pl.pallas_call(
         _bwd_kernel,
@@ -383,8 +405,8 @@ def _fused_bwd(tile, residuals, g):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=scratch,
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(x_pad, d_pad, *_consts(), *packed, g)
     return grads, jnp.zeros_like(x_pad), jnp.zeros_like(d_pad)
 
@@ -463,5 +485,6 @@ def nerf_sigma_fused(params: Dict, xyz: jnp.ndarray, tile: int = 1024):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P + pad, 8), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(x_pad, Fx, mx, *sub)
     return out[:P, 0:1].reshape(*batch_shape, 1)

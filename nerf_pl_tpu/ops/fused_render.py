@@ -33,8 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_mlp import (_cast, _const_block, _consts, _dot, _embed_sincos,
-                        _interpret, _precast, D, IN_P, SKIP_LAYER,
-                        pack_params)
+                        _interpret, _precast, _VMEM_LIMIT, D, IN_P,
+                        SKIP_LAYER, pack_params)
 
 
 def _build_points(rays, z):
@@ -71,7 +71,10 @@ def _quadrature_tile(sigmas, rgb_planes, z, dir_norm, white_back, tri):
     # +1e-10 cumprod epsilon only leaks ~1e-10 weight behind opaque
     # samples; omitted here (difference far below fp32 rendering noise).
     # Exclusive cumsum along S via MXU: out[:, i] = sum_{j<i} v[:, j].
-    csum = jax.lax.dot(-optical, tri, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU f32 dots default to one bf16 MXU pass; these sums feed
+    # exp() where the rounding visibly corrupts transmittance.
+    csum = jax.lax.dot(-optical, tri, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     weights = alphas * jnp.exp(csum)                       # (R, S)
     opacity = jnp.sum(weights, axis=-1, keepdims=True)     # (R, 1)
     if rgb_planes is None:
@@ -182,6 +185,7 @@ def fused_render_eval(params: Dict, rays: jnp.ndarray, z_vals: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, 8), jnp.float32),
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(rays, z_vals, tri, *_consts(), *packed)
     return {"rgb": out[:R, 0:3], "depth": out[:R, 3],
             "opacity": out[:R, 4]}
@@ -222,5 +226,6 @@ def fused_sigma_render(params: Dict, rays: jnp.ndarray, z_vals: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((Rp, S), jnp.float32),
                    jax.ShapeDtypeStruct((Rp, 8), jnp.float32)),
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(rays, z_vals, tri, Fx, mx, *sub)
     return weights[:R], op[:R, 0]

@@ -74,7 +74,8 @@ class NeRFSystem:
             N_samples=hp.N_samples, N_importance=hp.N_importance,
             use_disp=hp.use_disp, perturb=hp.perturb,
             noise_std=hp.noise_std, white_back=white_back,
-            compute_dtype=compute_dtype, fused=hp.fused_mlp)
+            compute_dtype=compute_dtype, fused=hp.fused_mlp,
+            fused_train=hp.fused_train)
         # Validation renders clean (no jitter/noise) full images.
         self.rcfg_val = RenderConfig(
             N_samples=hp.N_samples, N_importance=hp.N_importance,

@@ -1,0 +1,233 @@
+"""Fully-fused training renderer (ops/fused_train.py), interpreter mode:
+forward parity with the XLA quadrature path and gradient parity through
+quadrature + MLP against jax.grad of the reference implementation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_pl_tpu.models import (EmbeddingConfig, NeRFConfig, embed,
+                                init_nerf_params, nerf_apply)
+from nerf_pl_tpu.ops.fused_mlp import pack_params, unpack_grads
+from nerf_pl_tpu.ops.fused_train import fused_train_render
+from nerf_pl_tpu.rendering import ModelConfig, RenderConfig, render_rays
+from nerf_pl_tpu.rendering.render import volume_quadrature
+
+
+def make_rays(R=32, S=16, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((R, 1), 2, np.float32),
+         np.full((R, 1), 6, np.float32)], 1))
+    z = jnp.broadcast_to(jnp.linspace(2.0, 6.0, S), (R, S))
+    return rays, z
+
+
+def dense_params(key=0):
+    """Amplified sigma head: real opacity/saturation without entering the
+    eps-dominated regime. volume_quadrature keeps the reference's
+    cumprod(1 - alpha + 1e-10); once exp(-delta*sigma) < 1e-10 its autodiff
+    gradient is dominated by the epsilon (and wrong), while the fused
+    kernel's analytic VJP is exact for the eps-free math — so elementwise
+    comparisons are only meaningful below that saturation level."""
+    p = init_nerf_params(jax.random.PRNGKey(key))
+    p["sigma"]["w"] = p["sigma"]["w"] * 10
+    p["sigma"]["b"] = p["sigma"]["b"] + 1.0
+    return p
+
+
+def xla_render(params, rays, z, noise, white_back=True):
+    xyz = rays[:, None, :3] + rays[:, None, 3:6] * z[..., None]
+    x_emb = embed(xyz, EmbeddingConfig(3, 10))
+    d_emb = embed(rays[:, 3:6], EmbeddingConfig(3, 4))
+    rgbs, sig = nerf_apply(params, x_emb, d_emb[:, None, :], NeRFConfig(),
+                           compute_dtype=jnp.bfloat16)
+    dn = jnp.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+    return volume_quadrature(sig[..., 0], z, dn, noise, rgbs, white_back)
+
+
+class TestForwardParity:
+    def test_matches_xla_quadrature(self):
+        params = dense_params()
+        rays, z = make_rays()
+        noise = 0.7 * jax.random.normal(jax.random.PRNGKey(9), z.shape)
+        q = xla_render(params, rays, z, noise)
+        out8, weights = fused_train_render(pack_params(params), rays, z,
+                                           noise, True, 512, 512)
+        np.testing.assert_allclose(np.asarray(out8[:, 0:3]),
+                                   np.asarray(q["rgb"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out8[:, 3]),
+                                   np.asarray(q["depth"]), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(out8[:, 4]),
+                                   np.asarray(q["opacity"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(weights),
+                                   np.asarray(q["weights"]), atol=5e-3)
+
+    def test_multi_tile_matches_single_tile(self):
+        params = dense_params()
+        rays, z = make_rays(R=64)
+        noise = jnp.zeros_like(z)
+        a, wa = fused_train_render(pack_params(params), rays, z, noise,
+                                   True, 8 * 16, 8 * 16)  # 8 rays per tile
+        b, wb = fused_train_render(pack_params(params), rays, z, noise,
+                                   True, 64 * 16, 64 * 16)  # one tile
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
+
+
+def fused_mlp_render(params, rays, z, noise, white_back=True):
+    """Round-1 training path: fused point-MLP kernel + XLA quadrature.
+
+    This shares the bf16 MLP forward/backward with fused_train_render, so
+    comparing against it isolates exactly the NEW code under test — the
+    in-kernel quadrature forward + analytic VJP. (Comparing against the
+    f32 XLA MLP instead mostly measures pre-existing bf16 activation
+    rounding, already covered by test_fused_mlp.py.)"""
+    from nerf_pl_tpu.ops.fused_mlp import nerf_apply_fused
+    xyz = rays[:, None, :3] + rays[:, None, 3:6] * z[..., None]
+    rgbs, sig = nerf_apply_fused(params, xyz, rays[:, None, 3:6])
+    dn = jnp.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+    return volume_quadrature(sig[..., 0], z, dn, noise, rgbs, white_back)
+
+
+class TestGradientParity:
+    def _grads(self, loss_fused, loss_ref, params):
+        g_f = jax.grad(loss_fused)(params)
+        g_r = jax.grad(loss_ref)(params)
+        for name in g_r:
+            for leaf in ("w", "b"):
+                a = np.asarray(g_r[name][leaf])
+                b = np.asarray(g_f[name][leaf])
+                rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+                assert rel < 0.03, f"{name}/{leaf}: rel {rel}"
+
+    def test_mse_loss_grads_match_reference(self):
+        params = dense_params()
+        rays, z = make_rays()
+        noise = 0.5 * jax.random.normal(jax.random.PRNGKey(4), z.shape)
+        gt = jax.random.uniform(jax.random.PRNGKey(5), (rays.shape[0], 3))
+
+        def loss_fused(p):
+            out8, _ = fused_train_render(pack_params(p), rays, z, noise,
+                                         True, 512, 512)
+            return jnp.mean((out8[:, 0:3] - gt) ** 2)
+
+        def loss_ref(p):
+            q = fused_mlp_render(p, rays, z, noise)
+            return jnp.mean((q["rgb"] - gt) ** 2)
+
+        self._grads(loss_fused, loss_ref, params)
+
+    def test_grad_direction_vs_f32_reference(self):
+        """At realistic parameter scale the fused gradients point the same
+        way as the f32 XLA path's (per-layer cosine >= 0.95; the bf16
+        activation noise floor — identical to the shipped fused-MLP path —
+        is the only difference)."""
+        params = init_nerf_params(jax.random.PRNGKey(0))
+        rays, z = make_rays(R=64)
+        noise = 0.5 * jax.random.normal(jax.random.PRNGKey(4), z.shape)
+        gt = jax.random.uniform(jax.random.PRNGKey(5), (rays.shape[0], 3))
+
+        def loss_fused(p):
+            out8, _ = fused_train_render(pack_params(p), rays, z, noise,
+                                         True, 512, 512)
+            return jnp.mean((out8[:, 0:3] - gt) ** 2)
+
+        def loss_f32(p):
+            xyz = rays[:, None, :3] + rays[:, None, 3:6] * z[..., None]
+            x_emb = embed(xyz, EmbeddingConfig(3, 10))
+            d_emb = embed(rays[:, 3:6], EmbeddingConfig(3, 4))
+            rgbs, sig = nerf_apply(p, x_emb, d_emb[:, None, :], NeRFConfig())
+            dn = jnp.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
+            q = volume_quadrature(sig[..., 0], z, dn, noise, rgbs, True)
+            return jnp.mean((q["rgb"] - gt) ** 2)
+
+        g_f = jax.grad(loss_fused)(params)
+        g_r = jax.grad(loss_f32)(params)
+        for name in g_r:
+            for leaf in ("w", "b"):
+                a = np.asarray(g_f[name][leaf]).ravel()
+                b = np.asarray(g_r[name][leaf]).ravel()
+                cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+                assert cos > 0.95, f"{name}/{leaf}: cos {cos}"
+
+    def test_depth_and_opacity_cotangents(self):
+        """The VJP handles losses on depth/opacity, not just rgb."""
+        params = dense_params()
+        rays, z = make_rays()
+        noise = jnp.zeros_like(z)
+
+        def loss_fused(p):
+            out8, _ = fused_train_render(pack_params(p), rays, z, noise,
+                                         False, 512, 512)
+            return jnp.mean(out8[:, 3] ** 2) + 0.3 * jnp.mean(out8[:, 4])
+
+        def loss_ref(p):
+            q = fused_mlp_render(p, rays, z, noise, white_back=False)
+            return jnp.mean(q["depth"] ** 2) + 0.3 * jnp.mean(q["opacity"])
+
+        self._grads(loss_fused, loss_ref, params)
+
+    def test_weights_cotangent(self):
+        """A loss through the weights output backprops correctly too."""
+        params = dense_params()
+        rays, z = make_rays()
+        noise = jnp.zeros_like(z)
+
+        def loss_fused(p):
+            _, w = fused_train_render(pack_params(p), rays, z, noise,
+                                      False, 512, 512)
+            return jnp.mean(w ** 2)
+
+        def loss_ref(p):
+            q = fused_mlp_render(p, rays, z, noise, white_back=False)
+            return jnp.mean(q["weights"] ** 2)
+
+        self._grads(loss_fused, loss_ref, params)
+
+
+class TestRenderRaysIntegration:
+    def test_fused_train_path_close_to_unfused(self):
+        params = {"nerf_coarse": dense_params(0),
+                  "nerf_fine": dense_params(1)}
+        rays, _ = make_rays(R=64, S=16)
+        base = dict(N_samples=16, N_importance=8, white_back=True,
+                    perturb=1.0, noise_std=1.0)
+        key = jax.random.PRNGKey(7)
+        o_ref = render_rays(params, rays, key, RenderConfig(**base))
+        o_f = render_rays(params, rays, key,
+                          RenderConfig(**base, fused_train=True))
+        assert set(o_ref) == set(o_f)
+        for k in ("rgb_coarse", "rgb_fine", "opacity_fine"):
+            np.testing.assert_allclose(np.asarray(o_f[k]),
+                                       np.asarray(o_ref[k]), atol=2e-2)
+
+    def test_trainer_descends_with_fused_train(self):
+        """End-to-end: SPMD trainer runs and the loss falls."""
+        from nerf_pl_tpu.parallel import Trainer, make_mesh
+        from nerf_pl_tpu.training import (get_lr_schedule, get_optimizer,
+                                          loss_dict)
+        rng = np.random.default_rng(0)
+        n = 2048
+        o = rng.normal(size=(n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = np.concatenate(
+            [o, d, np.full((n, 1), 2.0, np.float32),
+             np.full((n, 1), 6.0, np.float32)], 1)
+        rgbs = rng.random((n, 3)).astype(np.float32)
+
+        mesh = make_mesh()
+        rcfg = RenderConfig(N_samples=16, N_importance=8, perturb=1.0,
+                            noise_std=0.0, fused_train=True)
+        sched = get_lr_schedule("steplr", 1e-3, 4, 10, decay_step=[100])
+        tr = Trainer(mesh, ModelConfig(), rcfg, get_optimizer("adam", sched),
+                     sched, loss_dict["mse"], 128)
+        tr.set_data(rays, rgbs)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.run_steps(state, jax.random.PRNGKey(1), 20)
+        losses = np.asarray(m["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-5:].mean() < losses[:5].mean()
