@@ -279,3 +279,130 @@ def _train_bwd(white_back, fppt, bppt, residuals, g):
 
 
 fused_train_render.defvjp(_train_fwd, _train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Loss-fused single-kernel step: forward + MSE cotangent + full backward in
+# ONE Pallas kernel.
+#
+# The custom-VJP path above still pays 4x forward FLOPs per pass: a forward
+# kernel for the loss value, then a backward kernel that recomputes the
+# forward before the 2x-forward gradient matmuls. When the loss is the
+# reference MSE (losses.py:4-17: mean over rays x rgb channels, coarse and
+# fine terms summed), the cotangent is closed-form — g_rgb = 2*(rgb-gt)*scale
+# — so the forward, the cotangent, and the whole backward can run inside one
+# kernel while the activations are still in VMEM: 3x forward FLOPs total,
+# no standalone forward, no recompute.
+# ---------------------------------------------------------------------------
+
+def _mse_fwdbwd_kernel(white_back: int, S: int, R_TILE: int, scale: float,
+                       rays_ref, z_ref, noise_ref, gt_ref,
+                       tri_u_ref, tri_l_ref,
+                       fx_ref, mx_ref, fd_ref, md_ref, *refs):
+    w_refs = refs[:N_PACKED]
+    out_ref = refs[N_PACKED]
+    w_out_ref = refs[N_PACKED + 1]
+    acc_refs = refs[N_PACKED + 2:]          # grad outputs double as accums
+    consts_n = (fx_ref[:], mx_ref[:], fd_ref[:], md_ref[:])
+    ws_ = [r[:] for r in w_refs]
+
+    rays = rays_ref[:]
+    z = z_ref[:]
+    noise = noise_ref[:]
+    p8, d8 = _build_points(rays, z)
+    fwd = _forward_body(p8, d8, consts_n, ws_, keep_acts=True)
+    sigma8, rgb8 = fwd[0], fwd[1]
+    sigmas = sigma8[:, 0:1].reshape(R_TILE, S)
+    rgb_planes = [rgb8[:, c:c + 1].reshape(R_TILE, S) for c in range(3)]
+    deltas, s_eff, exp_neg, trans, weights, opacity, rgb, depth = \
+        _quad_forward(rays, z, noise, sigmas, tri_u_ref[:],
+                      bool(white_back), rgb_planes)
+
+    out_ref[:, 0:3] = rgb
+    out_ref[:, 3:4] = depth
+    out_ref[:, 4:5] = opacity
+    out_ref[:, 5:8] = jnp.zeros_like(out_ref[:, 5:8])
+    w_out_ref[:] = weights
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in acc_refs:
+            r[:] = jnp.zeros_like(r)
+
+    # MSE cotangent, in-kernel: dL/drgb = 2*(rgb - gt)*scale
+    g_rgb = [(2.0 * scale) * (rgb[:, c:c + 1] - gt_ref[:, c:c + 1])
+             for c in range(3)]
+
+    # a_k = dL/dw_k (depth/opacity/weights carry no loss here)
+    a = g_rgb[0] * rgb_planes[0]
+    for c in (1, 2):
+        a = a + g_rgb[c] * rgb_planes[c]
+    if white_back:
+        a = a - (g_rgb[0] + g_rgb[1] + g_rgb[2])
+
+    aw = a * weights
+    suffix = jax.lax.dot(aw, tri_l_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    d_optical = a * trans * exp_neg - suffix
+    d_sigma = jnp.where(s_eff > 0, d_optical * deltas, 0.0)
+
+    g_sig_plane = d_sigma[..., None]
+    zeros7 = jnp.zeros((R_TILE, S, 7), jnp.float32)
+    g_sigma8 = jnp.concatenate([g_sig_plane, zeros7],
+                               axis=-1).reshape(R_TILE * S, 8)
+    g_rgb_planes = [(weights * g_rgb[c])[..., None] for c in range(3)]
+    zeros5 = jnp.zeros((R_TILE, S, 5), jnp.float32)
+    g_rgb8 = jnp.concatenate(g_rgb_planes + [zeros5],
+                             axis=-1).reshape(R_TILE * S, 8)
+
+    _mlp_grads(p8, d8, ws_, fwd, g_rgb8, g_sigma8, acc_refs)
+
+
+def fused_mse_render(packed, rays, z_vals, noise, gt8,
+                     white_back: bool, scale: float,
+                     points_per_tile: int = 4096):
+    """One-kernel fwd+bwd MSE step for ONE NeRF model on a ray batch.
+
+    Args:
+      packed: pack_params(model_params) (f32 master copies).
+      rays: (R, 8).  z_vals: (R, S) sorted depths.  noise: (R, S).
+      gt8: (R, 8) ground-truth rgb in cols 0..2 (cols 3..7 ignored).
+      scale: cotangent scale — 1/(R_global*3) for a mean over the GLOBAL
+        batch (pass the global size under shard_map data parallelism).
+
+    Returns (out8 (R, 8) [rgb, depth, opacity], weights (R, S),
+             grads: N_PACKED tuple matching pack_params layout — feed to
+             fused_mlp.unpack_grads). NOT differentiable — the gradients ARE
+        the output; use from a hand-assembled train step.
+    """
+    R, S = z_vals.shape
+    r_tile = _r_tile(points_per_tile, S, R)
+    tri_u = _strict_upper(S)
+    tri_l = _strict_lower(S)
+    kernel = functools.partial(_mse_fwdbwd_kernel, int(white_back), S,
+                               r_tile, float(scale))
+    in_specs = (_ray_tile_specs(r_tile, S, n_extra8=1)      # rays,z,noise,gt
+                + [_const_block(tri_u), _const_block(tri_l)]
+                + [_const_block(c) for c in _consts()]
+                + [_const_block(w) for w in packed])
+    out_shapes = ((jax.ShapeDtypeStruct((R, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((R, S), jnp.float32))
+                  + tuple(jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                          for p in packed))
+    out_specs = ((pl.BlockSpec((r_tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((r_tile, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM))
+                 + tuple(_const_block(p) for p in packed))
+    out = pl.pallas_call(
+        kernel,
+        grid=(R // r_tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
+    )(rays, z_vals, noise, gt8, tri_u, tri_l, *_consts(), *_precast(packed))
+    out8, weights = out[0], out[1]
+    return out8, weights, tuple(out[2:])

@@ -33,7 +33,8 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.nerf import init_nerf_params
-from ..rendering.render import ModelConfig, RenderConfig, render_rays
+from ..rendering.render import (ModelConfig, RenderConfig,
+                                fused_mse_train_step, render_rays)
 from .mesh import model_pspecs
 
 
@@ -186,24 +187,57 @@ class Trainer:
             check_vma=False,
         )(all_rays, all_rgbs, step)
 
+    def _loss_and_grads(self, params, rays, rgbs, key):
+        """(loss, render-out, grads) — jax.grad over render_rays, or the
+        loss-fused single-kernel path under an explicit shard_map."""
+        if not self.rcfg_train.fused_loss:
+            def loss_of(p):
+                out = render_rays(p, rays, key, self.rcfg_train, self.mcfg)
+                return self.loss_fn(out, rgbs), out
+
+            (loss, out), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params)
+            typ = "fine" if "rgb_fine" in out else "coarse"
+            mse = jnp.mean((out[f"rgb_{typ}"] - rgbs) ** 2)
+            return loss, mse, grads
+
+        # Loss-fused path: gradients come straight out of the kernels.
+        # shard_map makes the data-parallel reduction explicit (psum over
+        # ICI) instead of leaning on GSPMD's handling of the opaque Pallas
+        # custom-calls.
+        assert not self.tensor_parallel, (
+            "fused_loss path shards rays only (the 0.6M-param MLP needs no "
+            "tensor parallelism); run with tensor_parallel=False")
+        rcfg, mcfg, gbatch = self.rcfg_train, self.mcfg, self.batch_size
+
+        def local(params, rays_l, rgbs_l, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            loss_sum, out, grads = fused_mse_train_step(
+                params, rays_l, rgbs_l, key, rcfg, gbatch, mcfg)
+            typ = "fine" if "rgb_fine" in out else "coarse"
+            sq = jnp.sum((out[f"rgb_{typ}"] - rgbs_l) ** 2)
+            loss = jax.lax.psum(loss_sum, "data") / gbatch
+            mse = jax.lax.psum(sq, "data") / (gbatch * 3)
+            grads = jax.lax.psum(grads, "data")
+            return loss, mse, grads
+
+        return jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, rays, rgbs, key)
+
     def _one_step(self, state: TrainState, all_rays, all_rgbs,
                   key: jax.Array):
-        k_render = key
         rays, rgbs = self._sample_batch(all_rays, all_rgbs, state.step)
-
-        def loss_of(params):
-            out = render_rays(params, rays, k_render, self.rcfg_train,
-                              self.mcfg)
-            return self.loss_fn(out, rgbs), out
-
-        (loss, out), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
+        loss, mse, grads = self._loss_and_grads(state.params, rays, rgbs,
+                                                key)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        typ = "fine" if "rgb_fine" in out else "coarse"
-        psnr = -10.0 * jnp.log10(jnp.mean((out[f"rgb_{typ}"] - rgbs) ** 2))
+        psnr = -10.0 * jnp.log10(mse)
         metrics = {"loss": loss, "psnr": psnr,
                    "lr": self.lr_schedule(state.step)}
         return TrainState(params, opt_state, state.step + 1), metrics

@@ -61,6 +61,11 @@ class RenderConfig:
     # forward remat). Requires the default architecture and a batch size
     # divisible by the ray tile; implies `fused` semantics.
     fused_train: bool = False
+    # Loss-fused single-kernel step (fused_mse_train_step): forward + MSE
+    # cotangent + backward in ONE kernel per pass (3x fwd FLOPs, no
+    # standalone forward). Only valid for the reference MSE loss; the SPMD
+    # Trainer takes this path instead of jax.value_and_grad when set.
+    fused_loss: bool = False
 
 
 def volume_quadrature(sigmas: jnp.ndarray,
@@ -271,6 +276,86 @@ def render_rays(params: Dict[str, Any],
         result["opacity_fine"] = fine["opacity"]
 
     return result
+
+
+def fused_mse_train_step(params: Dict[str, Any],
+                         rays: jnp.ndarray,
+                         rgbs: jnp.ndarray,
+                         key: jax.Array,
+                         cfg: RenderConfig,
+                         global_batch: int,
+                         mcfg: ModelConfig = ModelConfig()):
+    """Loss-fused training step: loss value, render outputs AND parameter
+    gradients from ONE Pallas kernel per model pass (no jax.grad).
+
+    The MSE cotangent is computed in-kernel (ops/fused_train.py
+    fused_mse_render), so each pass costs 3x forward FLOPs instead of the
+    custom-VJP path's 4x. Valid exactly for the reference loss
+    (losses.py:4-17: sum of per-pass MSE means) — the only loss in the
+    reference's loss_dict.
+
+    Args:
+      rays: (R_local, 8). rgbs: (R_local, 3) ground truth.
+      global_batch: GLOBAL ray count of the step (cotangent scale under
+        data parallelism; psum the returned grads over the data axis).
+
+    Returns (loss_local_sum, result dict, grads pytree like params).
+      loss_local_sum is the SUM over local rays of the per-ray squared
+      error means — divide by global_batch (after psum) for the loss.
+    """
+    from ..ops.fused_mlp import pack_params, unpack_grads
+    from ..ops.fused_train import fused_mse_render
+
+    k_perturb, k_noise_c, k_importance, k_noise_f = jax.random.split(key, 4)
+    R = rays.shape[0]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    z_steps = jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=rays.dtype)
+    if not cfg.use_disp:
+        z_vals = near * (1.0 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+    z_vals = jnp.broadcast_to(z_vals, (R, cfg.N_samples))
+    if cfg.perturb > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([z_mid, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], z_mid], axis=-1)
+        z_vals = lower + (upper - lower) * cfg.perturb * jax.random.uniform(
+            k_perturb, z_vals.shape, dtype=z_vals.dtype)
+
+    def tile_noise(k, shape):
+        if cfg.noise_std > 0:
+            return cfg.noise_std * jax.random.normal(k, shape,
+                                                     dtype=jnp.float32)
+        return jnp.zeros(shape, jnp.float32)
+
+    gt8 = jnp.pad(rgbs, ((0, 0), (0, 5)))
+    scale = 1.0 / (global_batch * 3)
+
+    out_c, weights_c, g_c = fused_mse_render(
+        pack_params(params["nerf_coarse"]), rays, z_vals,
+        tile_noise(k_noise_c, z_vals.shape), gt8, cfg.white_back, scale)
+    result = {"rgb_coarse": out_c[:, 0:3],
+              "depth_coarse": out_c[:, 3],
+              "opacity_coarse": out_c[:, 4]}
+    loss_sum = jnp.sum((out_c[:, 0:3] - rgbs) ** 2) / 3.0
+    grads = {"nerf_coarse": unpack_grads(g_c, params["nerf_coarse"])}
+
+    if cfg.N_importance > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_fine = sample_pdf(z_mid, weights_c[:, 1:-1], cfg.N_importance,
+                            det=(cfg.perturb == 0), key=k_importance)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
+                         axis=-1)
+        out_f, _, g_f = fused_mse_render(
+            pack_params(params["nerf_fine"]), rays, z_all,
+            tile_noise(k_noise_f, z_all.shape), gt8, cfg.white_back, scale)
+        result["rgb_fine"] = out_f[:, 0:3]
+        result["depth_fine"] = out_f[:, 3]
+        result["opacity_fine"] = out_f[:, 4]
+        loss_sum = loss_sum + jnp.sum((out_f[:, 0:3] - rgbs) ** 2) / 3.0
+        grads["nerf_fine"] = unpack_grads(g_f, params["nerf_fine"])
+
+    return loss_sum, result, grads
 
 
 def render_rays_chunked(params: Dict[str, Any],

@@ -75,7 +75,9 @@ class NeRFSystem:
             use_disp=hp.use_disp, perturb=hp.perturb,
             noise_std=hp.noise_std, white_back=white_back,
             compute_dtype=compute_dtype, fused=hp.fused_mlp,
-            fused_train=hp.fused_train)
+            fused_train=hp.fused_train,
+            # the loss-fused single-kernel step is exactly the reference MSE
+            fused_loss=(hp.fused_train and hp.loss_type == "mse"))
         # Validation renders clean (no jitter/noise) full images.
         self.rcfg_val = RenderConfig(
             N_samples=hp.N_samples, N_importance=hp.N_importance,
