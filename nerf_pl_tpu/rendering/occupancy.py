@@ -186,6 +186,22 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         sigma_threshold=float(sigma_threshold), chunk=chunk))
     block_map = np.asarray(fn(params, lo=jnp.asarray(lo), hi=jnp.asarray(hi)))
 
+    # Out-of-grid space is treated as EMPTY by the culler: if the trained
+    # density reaches the grid boundary, the scene extends past `ranges`
+    # and rays through the overflow get silently culled (observed: a
+    # +/-1.5 grid on a +/-1.7 scene cost 5 dB). Warn loudly.
+    boundary = np.zeros_like(block_map, bool)
+    boundary[[0, -1], :, :] = boundary[:, [0, -1], :] = True
+    boundary[:, :, [0, -1]] = True
+    n_edge = int(np.count_nonzero(block_map.astype(bool) & boundary))
+    if n_edge:
+        import warnings
+        warnings.warn(
+            f"occupancy grid: {n_edge} occupied blocks touch the grid "
+            f"boundary — the scene likely extends beyond ranges={ranges}; "
+            "rays through out-of-grid geometry will be culled. Widen "
+            "`ranges` (--occ_range).", stacklevel=2)
+
     boxes = _blocks_to_boxes(block_map, lo, hi)
     while len(boxes) > max_boxes and block < N:
         block *= 2

@@ -141,6 +141,21 @@ class TestSigmaBlockMap:
         np.testing.assert_array_equal(bm, expect)
 
 
+class TestBoundaryWarning:
+    def test_warns_when_density_reaches_grid_edge(self):
+        """Occupied blocks on the grid boundary mean the scene extends past
+        `ranges` — out-of-grid rays get silently culled, so the build must
+        warn (observed 5 dB loss from a too-narrow --occ_range)."""
+        from nerf_pl_tpu.rendering.occupancy import build_occupancy_grid
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(0), mcfg.nerf)
+        # sigma positive everywhere -> every block occupied incl. boundary
+        params["sigma"]["b"] = params["sigma"]["b"] + 50.0
+        with pytest.warns(UserWarning, match="grid boundary"):
+            build_occupancy_grid(params, mcfg, N=8, block=4,
+                                 sigma_threshold=0.5, chunk=64)
+
+
 @pytest.mark.slow
 class TestCulledRenderParity:
     def test_culled_matches_dense(self, tmp_path):
