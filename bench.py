@@ -63,11 +63,18 @@ def main():
     # steady-state cost — all segments run the identical cached program).
     # The full spread is reported on stderr for honesty.
     dts = []
+    losses = []
     for _ in range(3):
         t0 = time.perf_counter()
         state, m = tr.run_steps(state, jax.random.PRNGKey(1), steps)
-        assert np.all(np.isfinite(np.asarray(m["loss"])))  # host sync
+        # Sync on a PARAM leaf (the optimizer update is not in the loss
+        # metric's dependency chain, so syncing on loss alone would let
+        # trailing update work leak past the timer). np.asarray forces a
+        # host transfer — block_until_ready is unreliable over this tunnel.
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0])
         dts.append(time.perf_counter() - t0)
+        losses.append(np.asarray(m["loss"]))
+    assert all(np.all(np.isfinite(l)) for l in losses)
 
     rays_per_sec = steps * batch / min(dts)
     spread = [round(steps * batch / dt, 1) for dt in sorted(dts)]

@@ -59,14 +59,16 @@ def get_opts(argv=None):
     parser.add_argument('--fused_mlp', default=False, action='store_true',
                         help='use the Pallas fused point-MLP kernel')
     parser.add_argument('--occ_grid', default=False, action='store_true',
-                        help='occupancy-grid empty-space skipping (exact-'
-                             'parity ray culling; grid built once, reused '
-                             'for every frame)')
+                        help='occupancy-grid empty-space skipping (near-'
+                             'parity ray culling: analytic background '
+                             'substituted on provably-empty rays; grid '
+                             'cached next to the checkpoint)')
     parser.add_argument('--occ_threshold', type=float, default=1.0,
                         help='sigma above which a grid cell is occupied')
-    parser.add_argument('--occ_range', nargs=2, type=float,
-                        default=[-1.5, 1.5],
-                        help='world extent of the occupancy grid per axis')
+    parser.add_argument('--occ_range', nargs='+', type=float, default=None,
+                        help='grid world extent: 2 values (symmetric lo hi)'
+                             ' or 6 (lox loy loz hix hiy hiz); omit to '
+                             'auto-derive from the model + cameras')
     parser.add_argument('--occ_N', type=int, default=128,
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_tighten', default=False, action='store_true',
@@ -128,29 +130,35 @@ def main(argv=None):
         white_back=dataset.white_back, test_time=True,
         compute_dtype=compute_dtype, fused=args.fused_mlp)
 
+    mesh = make_mesh(num_data=min(args.num_chips, len(jax.devices())))
+    params = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec()))
     if args.occ_grid:
-        from nerf_pl_tpu.rendering import CulledRenderer, build_occupancy_grid
-        occ = build_occupancy_grid(
+        from nerf_pl_tpu.rendering import (CulledRenderer, load_or_build_grid,
+                                           rays_aabb)
+        # AABB of the viewing volume from a few poses (probe box for
+        # auto-derived grid ranges)
+        aabb_rays = np.concatenate(
+            [dataset[i]['rays'] for i in
+             range(0, len(dataset), max(1, len(dataset) // 8))], 0)
+        occ = load_or_build_grid(
+            args.ckpt_path,
             params["nerf_fine" if args.N_importance > 0 else "nerf_coarse"],
-            mcfg, N=args.occ_N, block=max(args.occ_N // 16, 1),
-            ranges=tuple(args.occ_range),
-            sigma_threshold=args.occ_threshold)
+            mcfg, N=args.occ_N, occ_range=args.occ_range,
+            sigma_threshold=args.occ_threshold, aabb=rays_aabb(aabb_rays))
         print(f"[occ] {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
-                            tighten=args.occ_tighten)
+                            tighten=args.occ_tighten, mesh=mesh)
 
         def render(params, rays):
             out = cr(params, jnp.asarray(rays))
             return {k: np.asarray(v) for k, v in out.items()}
     else:
-        mesh = make_mesh(num_data=min(args.num_chips, len(jax.devices())))
         # Trainer only used as the sharded-render host here.
         tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
                      lambda s: 1e-3, loss_dict["mse"], mesh.shape["data"])
-        params = jax.device_put(
-            params, jax.sharding.NamedSharding(mesh,
-                                               jax.sharding.PartitionSpec()))
         render = tr.render_fn(rcfg, chunk=args.chunk)
 
     typ = "fine" if args.N_importance > 0 else "coarse"

@@ -59,6 +59,64 @@ class Hparams:
     seed: int = 42
     num_workers: int = 0            # accepted for parity; data is on-device
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # Occupancy-tightened training (training-side empty-space skipping):
+    # after --occ_warmup_epochs, the current model's occupancy grid clips
+    # every stored ray's [near, far] to its occupied interval so all
+    # N_samples land in (near-)occupied space; refreshed every
+    # --occ_refresh_epochs. Lets a tightened 32+32 run match dense 64+64
+    # accuracy at ~half the FLOPs.
+    occ_train: bool = False
+    occ_warmup_epochs: int = 2
+    occ_refresh_epochs: int = 4
+    occ_N: int = 128                # occupancy grid resolution per axis
+    occ_range: Optional[Sequence[float]] = None  # None = auto-derive
+    occ_threshold: float = 1.0      # sigma above which a cell is occupied
+    occ_margin: float = 0.1         # world-space slack around occupied spans
+
+
+def validate_hparams(hp: Hparams) -> Hparams:
+    """Single setup-time choke point for illegal flag combinations.
+
+    Every fused-path restriction that used to fail deep inside a kernel
+    (fused_train batch divisibility, fused_loss+TP in parallel/spmd.py,
+    tile constraints in ops/fused_train.py) is rejected here with a message
+    naming the flag to change."""
+    import warnings
+    if hp.batch_size % max(hp.num_gpus, 1):
+        raise ValueError(
+            f"--batch_size {hp.batch_size} must be divisible by "
+            f"--num_gpus {hp.num_gpus} (global batch is split across the "
+            "data mesh axis)")
+    if hp.fused_train:
+        per_chip = hp.batch_size // max(hp.num_gpus, 1)
+        if per_chip % 8:
+            raise ValueError(
+                f"--fused_train needs a per-chip batch divisible by 8 "
+                f"(Pallas ray-tile constraint); got --batch_size "
+                f"{hp.batch_size} / --num_gpus {hp.num_gpus} = {per_chip}. "
+                "Change --batch_size.")
+        if hp.precision == "bfloat16":
+            warnings.warn(
+                "--precision bfloat16 has no effect with --fused_train: "
+                "the fused kernels already run bf16 matmuls with f32 "
+                "quadrature and keep f32 master weights", stacklevel=2)
+    if hp.fused_train and hp.loss_type != "mse":
+        warnings.warn(
+            f"--loss_type {hp.loss_type}: the single-kernel loss-fused "
+            "step only covers mse; falling back to the two-kernel "
+            "custom-VJP fused path", stacklevel=2)
+    if hp.occ_train:
+        if hp.occ_warmup_epochs >= hp.num_epochs:
+            warnings.warn(
+                f"--occ_train never activates: --occ_warmup_epochs "
+                f"{hp.occ_warmup_epochs} >= --num_epochs {hp.num_epochs}",
+                stacklevel=2)
+        if hp.occ_range is not None and len(hp.occ_range) not in (2, 6):
+            raise ValueError(
+                "--occ_range takes 2 values (symmetric lo hi) or 6 "
+                "(lox loy loz hix hiy hiz); omit it to auto-derive from "
+                "the model + cameras")
+    return hp
 
 
 def get_opts(argv: Optional[List[str]] = None) -> Hparams:
@@ -153,6 +211,27 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='capture a jax.profiler trace of one training '
                              'segment into this directory')
+    parser.add_argument('--occ_train', default=False, action='store_true',
+                        help='occupancy-tightened training: after warmup, '
+                             'clip every stored ray\'s [near,far] to its '
+                             'occupied interval from the current model\'s '
+                             'occupancy grid (training-side empty-space '
+                             'skipping; pairs with reduced --N_samples)')
+    parser.add_argument('--occ_warmup_epochs', type=int, default=2,
+                        help='epochs of dense training before the first '
+                             'occupancy tightening')
+    parser.add_argument('--occ_refresh_epochs', type=int, default=4,
+                        help='epochs between grid rebuild + re-tighten')
+    parser.add_argument('--occ_N', type=int, default=128,
+                        help='occupancy grid resolution per axis')
+    parser.add_argument('--occ_range', nargs='+', type=float, default=None,
+                        help='grid world extent: 2 values (symmetric lo hi) '
+                             'or 6 (lox loy loz hix hiy hiz); omit to '
+                             'auto-derive from the model + cameras')
+    parser.add_argument('--occ_threshold', type=float, default=1.0,
+                        help='sigma above which a grid cell is occupied')
+    parser.add_argument('--occ_margin', type=float, default=0.1,
+                        help='world-space slack kept around occupied spans')
 
     args = parser.parse_args(argv)
-    return Hparams(**vars(args))
+    return validate_hparams(Hparams(**vars(args)))

@@ -94,18 +94,27 @@ class Trainer:
         sequential DMA instead of a 1024-row random gather from a ~GB HBM
         table (the gather costs ~10 ms/step at lego scale).
 
-        Pads to a multiple of the axis size by repeating head rays."""
+        Pads to a multiple of the GLOBAL batch by repeating head rays, so
+        every local shard is a whole number of local batches: no tail rays
+        are silently dropped (the reference DataLoader default is
+        drop_last=False) and steps_per_epoch_local always agrees with the
+        system-level ceil(n / batch) epoch length."""
         n = all_rays.shape[0]
         perm = np.random.default_rng(shuffle_seed).permutation(n)
         all_rays = all_rays[perm]
         all_rgbs = all_rgbs[perm]
-        pad = (-n) % self.n_data
+        pad = (-n) % max(self.batch_size, self.n_data)
         if pad:
             all_rays = np.concatenate([all_rays, all_rays[:pad]], 0)
             all_rgbs = np.concatenate([all_rgbs, all_rgbs[:pad]], 0)
         sh = NamedSharding(self.mesh, P("data"))
         self.all_rays = jax.device_put(all_rays, sh)
         self.all_rgbs = jax.device_put(all_rgbs, sh)
+        # Original [near, far] of every ray, kept so occupancy tightening
+        # (tighten_store) stays idempotent: re-tightening with a fresh grid
+        # always derives from the ORIGINAL interval, never from a previously
+        # shrunk one. Materialized lazily on first tighten.
+        self.all_nf0 = None
         self.n_rays_local = all_rays.shape[0] // self.n_data
         # steps covering one pass over a local shard (DataLoader-epoch analog)
         self.steps_per_epoch_local = max(1, self.n_rays_local
@@ -121,21 +130,76 @@ class Trainer:
         sequential DMA. Shards never exchange rays (the initial global host
         shuffle in set_data already mixed images across devices), matching
         torch DistributedSampler's per-rank semantics."""
-        if self._reshuffle is None:
-            def local(rays_l, rgbs_l, key):
+        n_arrays = 2 if self.all_nf0 is None else 3
+        if self._reshuffle is None or self._reshuffle[0] != n_arrays:
+            def local(key, *arrays):
                 key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-                perm = jax.random.permutation(key, rays_l.shape[0])
-                return jnp.take(rays_l, perm, axis=0), \
-                    jnp.take(rgbs_l, perm, axis=0)
+                perm = jax.random.permutation(key, arrays[0].shape[0])
+                return tuple(jnp.take(a, perm, axis=0) for a in arrays)
 
             smapped = jax.shard_map(
                 local, mesh=self.mesh,
-                in_specs=(P("data"), P("data"), P()),
-                out_specs=(P("data"), P("data")),
+                in_specs=(P(),) + (P("data"),) * n_arrays,
+                out_specs=(P("data"),) * n_arrays,
                 check_vma=False)
-            self._reshuffle = jax.jit(smapped, donate_argnums=(0, 1))
-        self.all_rays, self.all_rgbs = self._reshuffle(
-            self.all_rays, self.all_rgbs, key)
+            self._reshuffle = (n_arrays, jax.jit(
+                smapped, donate_argnums=tuple(range(1, n_arrays + 1))))
+        arrays = [self.all_rays, self.all_rgbs]
+        if self.all_nf0 is not None:
+            arrays.append(self.all_nf0)
+        out = self._reshuffle[1](key, *arrays)
+        self.all_rays, self.all_rgbs = out[0], out[1]
+        if self.all_nf0 is not None:
+            self.all_nf0 = out[2]
+
+    def tighten_store(self, boxes: np.ndarray, margin: float = 0.1):
+        """Occupancy-tighten the [near, far] of EVERY ray in the store.
+
+        The training-side form of empty-space skipping (NerfAcc-style, but
+        amortized): instead of culling samples inside the step — impossible
+        with static shapes — each ray's sampling interval is clipped once
+        per grid refresh to the union of its occupancy-box overlaps
+        (rendering/occupancy.py ray_box_hits), so ALL N_samples land in
+        (near-)occupied space. Rays that miss every box keep their original
+        interval (they still supervise the background). Idempotent: always
+        derives from the original [near, far] captured on first call.
+
+        Returns (hit_fraction, mean_shrink) read back for logging.
+        """
+        from ..rendering.occupancy import ray_box_hits
+        if self.all_nf0 is None:
+            self.all_nf0 = jnp.array(self.all_rays[:, 6:8])  # copy, sharded
+        boxes = jnp.asarray(boxes, jnp.float32)
+
+        def local(rays_l, nf0_l, bxs):
+            base = jnp.concatenate([rays_l[:, :6], nf0_l], axis=1)
+            hit, tlo, thi = ray_box_hits(bxs, base)
+            near0, far0 = nf0_l[:, 0], nf0_l[:, 1]
+            near = jnp.where(hit, jnp.maximum(near0, tlo - margin), near0)
+            far = jnp.where(hit, jnp.minimum(far0, thi + margin), far0)
+            far = jnp.maximum(far, near + 1e-4)
+            new = jnp.concatenate(
+                [rays_l[:, :6], near[:, None], far[:, None]], axis=1)
+            n_hit = jnp.sum(hit.astype(jnp.float32))
+            shrink = jnp.sum(1.0 - (far - near) / (far0 - near0))
+            return new, jax.lax.psum(n_hit, "data"), \
+                jax.lax.psum(shrink, "data")
+
+        cache_key = (int(boxes.shape[0]), float(margin))
+        if getattr(self, "_tighten_cache", None) is None:
+            self._tighten_cache = {}
+        if cache_key not in self._tighten_cache:
+            smapped = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P("data"), P("data"), P()),
+                out_specs=(P("data"), P(), P()),
+                check_vma=False)
+            self._tighten_cache[cache_key] = jax.jit(smapped,
+                                                     donate_argnums=(0,))
+        self.all_rays, n_hit, shrink = self._tighten_cache[cache_key](
+            self.all_rays, self.all_nf0, boxes)
+        n = self.all_nf0.shape[0]
+        return float(n_hit) / n, float(shrink) / n
 
     # --------------------------------------------------------------- state
     def init_state(self, key: jax.Array,

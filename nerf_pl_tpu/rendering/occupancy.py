@@ -43,6 +43,19 @@ from .render import ModelConfig, RenderConfig, render_rays
 
 # --------------------------------------------------------------------- build
 
+def pick_block(N: int, target_blocks: int = 16) -> int:
+    """Largest divisor of N giving at least ``target_blocks`` blocks per edge.
+
+    build_occupancy_grid requires N % block == 0; callers deriving block as
+    N // 16 crash for N not a multiple of 16 (e.g. 100 -> 6, 100 % 6 != 0).
+    """
+    best = 1
+    for b in range(1, max(N // target_blocks, 1) + 1):
+        if N % b == 0:
+            best = b
+    return best
+
+
 def _sigma_block_map(params: Dict, mcfg: ModelConfig, N: int, block: int,
                      lo: jnp.ndarray, hi: jnp.ndarray,
                      sigma_threshold: float, chunk: int) -> jnp.ndarray:
@@ -157,21 +170,97 @@ class OccupancyGrid:
         return float(self.block_map.astype(np.float64).mean())
 
 
+def rays_aabb(rays: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """World AABB of a ray set's viewing volume: the hull of every ray's
+    near and far endpoint (o + d*near, o + d*far). Works in whatever
+    coordinates the rays live in (world or NDC)."""
+    rays = np.asarray(rays)
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    p_near = o + d * rays[:, 6:7]
+    p_far = o + d * rays[:, 7:8]
+    lo = np.minimum(p_near.min(0), p_far.min(0)).astype(np.float32)
+    hi = np.maximum(p_near.max(0), p_far.max(0)).astype(np.float32)
+    return lo, hi
+
+
+def auto_ranges(params: Dict, mcfg: ModelConfig,
+                aabb: Tuple[np.ndarray, np.ndarray],
+                sigma_threshold: float = 1.0,
+                probe_N: int = 64,
+                pad_frac: float = 0.05) -> Tuple[np.ndarray, np.ndarray]:
+    """Derive tight grid ranges from the model itself: probe the sigma
+    field over the full viewing volume at coarse resolution, then refit the
+    box to the occupied cells (+2 probe cells and ``pad_frac`` padding).
+
+    This removes the --occ_range footgun both ways: the probe covers the
+    whole frustum hull so nothing can sit outside the derived box, and the
+    refit recovers fine-grid resolution on compact scenes.
+    """
+    lo, hi = (np.asarray(aabb[0], np.float32), np.asarray(aabb[1],
+                                                          np.float32))
+    fn = jax.jit(functools.partial(
+        _sigma_block_map, mcfg=mcfg, N=probe_N, block=1,
+        sigma_threshold=float(sigma_threshold), chunk=128 * 1024))
+    occ = np.asarray(fn(params, lo=jnp.asarray(lo),
+                        hi=jnp.asarray(hi))).astype(bool)
+    if not occ.any():
+        return lo, hi
+    cell = (hi - lo) / probe_N
+    idx = np.stack(np.nonzero(occ), axis=-1)            # (M, 3)
+    lo_fit = lo + (idx.min(0) - 2) * cell
+    hi_fit = lo + (idx.max(0) + 3) * cell
+    pad = (hi_fit - lo_fit) * pad_frac
+    return ((lo_fit - pad).astype(np.float32),
+            (hi_fit + pad).astype(np.float32))
+
+
+def resolve_ranges(occ_range, params: Dict, mcfg: ModelConfig,
+                   aabb: Tuple[np.ndarray, np.ndarray],
+                   sigma_threshold: float = 1.0):
+    """CLI-level range resolution: an explicit symmetric (lo, hi) pair or a
+    6-value (lox loy loz hix hiy hiz) box passes through; None / 'auto'
+    derives the box from the model + viewing volume."""
+    if occ_range is None or (isinstance(occ_range, str)
+                             and occ_range == "auto"):
+        return auto_ranges(params, mcfg, aabb,
+                           sigma_threshold=sigma_threshold)
+    occ_range = tuple(occ_range)
+    if len(occ_range) == 6:
+        return (np.asarray(occ_range[:3], np.float32),
+                np.asarray(occ_range[3:], np.float32))
+    return occ_range
+
+
+def _boundary_occupied(block_map: np.ndarray) -> int:
+    boundary = np.zeros_like(block_map, bool)
+    boundary[[0, -1], :, :] = boundary[:, [0, -1], :] = True
+    boundary[:, :, [0, -1]] = True
+    return int(np.count_nonzero(block_map.astype(bool) & boundary))
+
+
 def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
                          N: int = 128, block: int = 8,
                          ranges: Tuple[float, float] = (-1.5, 1.5),
                          sigma_threshold: float = 1.0,
                          chunk: int = 128 * 1024,
-                         max_boxes: int = 512) -> OccupancyGrid:
+                         max_boxes: int = 512,
+                         auto_widen: int = 2) -> OccupancyGrid:
     """Build the culling structure from a trained (fine) model's sigma field.
 
     Args:
       params: ONE model's parameter dict (normally nerf_fine).
       ranges: symmetric world extent (lo, hi) on every axis, or a
-        ((lo3), (hi3)) pair for anisotropic scenes.
+        ((lo3), (hi3)) pair for anisotropic scenes (auto_ranges returns
+        the latter).
       sigma_threshold: conservative occupancy cut — keep low (default 1.0;
         alpha of a 0.02-long step at sigma=1 is ~2%).
       block: fine cells per block edge; boxes are block-resolution.
+      auto_widen: out-of-grid space is treated as EMPTY by the culler, so
+        occupied blocks touching the boundary mean the scene extends past
+        `ranges` and rays through the overflow get silently culled
+        (observed: a +/-1.5 grid on a +/-1.7 scene cost 5 dB). When > 0,
+        the box is widened 1.3x about its center and rebuilt, up to this
+        many times; a loud warning remains as the last resort.
     """
     if np.ndim(ranges[0]) == 0:
         lo = np.full(3, ranges[0], np.float32)
@@ -184,23 +273,23 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
     fn = jax.jit(functools.partial(
         _sigma_block_map, mcfg=mcfg, N=N, block=block,
         sigma_threshold=float(sigma_threshold), chunk=chunk))
-    block_map = np.asarray(fn(params, lo=jnp.asarray(lo), hi=jnp.asarray(hi)))
-
-    # Out-of-grid space is treated as EMPTY by the culler: if the trained
-    # density reaches the grid boundary, the scene extends past `ranges`
-    # and rays through the overflow get silently culled (observed: a
-    # +/-1.5 grid on a +/-1.7 scene cost 5 dB). Warn loudly.
-    boundary = np.zeros_like(block_map, bool)
-    boundary[[0, -1], :, :] = boundary[:, [0, -1], :] = True
-    boundary[:, :, [0, -1]] = True
-    n_edge = int(np.count_nonzero(block_map.astype(bool) & boundary))
+    for attempt in range(auto_widen + 1):
+        block_map = np.asarray(fn(params, lo=jnp.asarray(lo),
+                                  hi=jnp.asarray(hi)))
+        n_edge = _boundary_occupied(block_map)
+        if not n_edge or attempt == auto_widen:
+            break
+        center = 0.5 * (lo + hi)
+        lo = center + (lo - center) * 1.3
+        hi = center + (hi - center) * 1.3
     if n_edge:
         import warnings
         warnings.warn(
             f"occupancy grid: {n_edge} occupied blocks touch the grid "
-            f"boundary — the scene likely extends beyond ranges={ranges}; "
-            "rays through out-of-grid geometry will be culled. Widen "
-            "`ranges` (--occ_range).", stacklevel=2)
+            f"boundary after {auto_widen} auto-widen attempts — the scene "
+            f"reaches the edge of [{lo}, {hi}]; rays through out-of-grid "
+            "geometry will be culled. Widen `ranges` (--occ_range).",
+            stacklevel=2)
 
     boxes = _blocks_to_boxes(block_map, lo, hi)
     while len(boxes) > max_boxes and block < N:
@@ -213,6 +302,66 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         block_map = bb
         boxes = _blocks_to_boxes(block_map, lo, hi)
     return OccupancyGrid(boxes=boxes, block_map=block_map, lo=lo, hi=hi)
+
+
+# ------------------------------------------------------------------ caching
+
+def grid_cache_path(ckpt_path: str) -> str:
+    return ckpt_path + ".occ.npz"
+
+
+def _grid_cache_key(ckpt_path: str, N: int, occ_range, threshold: float
+                    ) -> str:
+    import os
+    st = os.stat(ckpt_path)
+    rng_s = "auto" if (occ_range is None or occ_range == "auto") \
+        else ",".join(f"{float(v):.6g}" for v in occ_range)
+    return f"{st.st_mtime_ns}:{st.st_size}:{N}:{rng_s}:{threshold:.6g}"
+
+
+def load_or_build_grid(ckpt_path: str, params: Dict,
+                       mcfg: ModelConfig = ModelConfig(),
+                       N: int = 128,
+                       occ_range=None,
+                       sigma_threshold: float = 1.0,
+                       aabb: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                       verbose: bool = True) -> OccupancyGrid:
+    """Grid build with a cache file next to the checkpoint.
+
+    The cache is keyed on (ckpt mtime+size, N, range spec, threshold) so a
+    retrained checkpoint or changed grid settings rebuild automatically;
+    a second eval/render invocation skips the ~minutes-long remote compile.
+    """
+    import os
+    path = grid_cache_path(ckpt_path)
+    key = _grid_cache_key(ckpt_path, N, occ_range, sigma_threshold)
+    if os.path.exists(path):
+        try:
+            z = np.load(path, allow_pickle=False)
+            if str(z["key"]) == key:
+                if verbose:
+                    print(f"[occ] loaded cached grid from {path}")
+                return OccupancyGrid(boxes=z["boxes"],
+                                     block_map=z["block_map"],
+                                     lo=z["lo"], hi=z["hi"])
+        except (KeyError, ValueError, OSError):
+            pass
+    if (occ_range is None or occ_range == "auto") and aabb is None:
+        raise ValueError("auto occupancy ranges need the dataset rays' "
+                         "AABB (pass aabb=rays_aabb(...)) or an explicit "
+                         "--occ_range")
+    ranges = resolve_ranges(occ_range, params, mcfg, aabb=aabb,
+                            sigma_threshold=sigma_threshold)
+    occ = build_occupancy_grid(params, mcfg, N=N, block=pick_block(N),
+                               ranges=ranges,
+                               sigma_threshold=sigma_threshold)
+    np.savez(path, key=key, boxes=occ.boxes, block_map=occ.block_map,
+             lo=occ.lo, hi=occ.hi)
+    if verbose:
+        print(f"[occ] built grid ({occ.n_boxes} boxes, "
+              f"{occ.occupied_fraction * 100:.1f}% occupied), cached to "
+              f"{path}")
+    return occ
 
 
 # ------------------------------------------------------------------ culling
@@ -253,24 +402,30 @@ def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
 
 
 class CulledRenderer:
-    """Full-image renderer with occupancy culling (single-chip inference).
+    """Full-image renderer with occupancy culling.
 
     Host orchestration with static-shape device programs:
       1. one jitted cull pass: hit test + stable argsort compaction
          (survivors first) — host reads back ONE scalar (survivor count);
       2. a per-bucket jitted render+scatter pass over ceil(n/chunk) tiles
-         (bucketed to powers of two so at most log2(R/chunk) programs
-         compile); culled pixels keep the analytic background.
+         (bucketed so at most R/(gran*chunk) programs compile); culled
+         pixels keep the analytic background.
 
     `tighten=True` additionally clips each surviving ray's [near, far] to
     the union of its box overlaps (plus a margin) — concentrates all
     N_samples in occupied space (better quality per sample, slightly
     different output than the dense render).
+
+    `mesh`: a (data, model) Mesh — survivor tiles are sharded over the
+    data axis (shard_map), composing culling with multi-chip rendering the
+    same way Trainer.render_fn shards the dense path. Params must be
+    replicated on the mesh by the caller.
     """
 
     def __init__(self, occ: OccupancyGrid, rcfg: RenderConfig,
                  mcfg: ModelConfig = ModelConfig(), chunk: int = 20480,
-                 tighten: bool = False, tighten_margin: float = 0.05):
+                 tighten: bool = False, tighten_margin: float = 0.05,
+                 mesh=None):
         if occ.n_boxes == 0:
             raise ValueError("occupancy grid is empty — threshold too high?")
         self.boxes = jnp.asarray(occ.boxes)
@@ -279,6 +434,8 @@ class CulledRenderer:
         self.chunk = chunk
         self.tighten = tighten
         self.margin = tighten_margin
+        self.mesh = mesh
+        self.n_data = 1 if mesh is None else mesh.shape["data"]
         self._programs: Dict[int, Any] = {}
         self._cull = None
 
@@ -311,13 +468,24 @@ class CulledRenderer:
             return self._programs[key]
         chunk, rcfg, mcfg = self.chunk, self.rcfg, self.mcfg
         white = rcfg.white_back
+        mesh = self.mesh
+
+        def tile_render(params, tiles, key_):
+            return jax.lax.map(
+                lambda r: render_rays(params, r, key_, rcfg, mcfg), tiles)
+
+        if mesh is not None and self.n_data > 1:
+            from jax.sharding import PartitionSpec as P
+            tile_render = jax.shard_map(
+                tile_render, mesh=mesh,
+                in_specs=(P(), P("data"), P()), out_specs=P("data"),
+                check_vma=False)
 
         @jax.jit
         def run(params, rays_sorted, order, key_):
             n = n_tiles * chunk
             tiles = rays_sorted[:n].reshape(n_tiles, chunk, 8)
-            out = jax.lax.map(
-                lambda r: render_rays(params, r, key_, rcfg, mcfg), tiles)
+            out = tile_render(params, tiles, key_)
             flat = {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
             n_scatter = min(n, R)
             idx = order[:n_scatter]
@@ -346,9 +514,13 @@ class CulledRenderer:
         rays_sorted, order, n_hit = self._cull_fn()(self.boxes, rays)
         n = int(n_hit)                                  # scalar readback
         n_tiles_exact = max(1, -(-n // self.chunk))
-        # bucket to an even tile count (≤8% waste, ≤ R/(2*chunk) programs)
-        n_tiles = min(n_tiles_exact + (n_tiles_exact % 2),
-                      -(-R // self.chunk))
+        # bucket the tile count to a multiple of gran (bounds program count
+        # at R/(gran*chunk), ≤8% waste at gran=2) — and to the data-axis
+        # size so shard_map splits survivors evenly across chips
+        gran = max(2, self.n_data)
+        n_tiles_cap = -(-R // self.chunk)               # all rays survive
+        n_tiles = min(-(-n_tiles_exact // gran) * gran,
+                      -(-n_tiles_cap // gran) * gran)
         # pad the sorted rays so n_tiles*chunk rows always exist; padded
         # rows duplicate the last real ray (rendered then dropped)
         total = n_tiles * self.chunk

@@ -38,12 +38,14 @@ def main(argv=None):
     parser.add_argument('--fused_mlp', default=False, action='store_true')
     parser.add_argument('--occ_grid', default=False, action='store_true',
                         help='build an occupancy grid and skip empty-space '
-                             'rays (exact-parity culling)')
+                             'rays (near-parity culling: analytic '
+                             'background substituted on provably-empty '
+                             'rays)')
     parser.add_argument('--occ_threshold', type=float, default=1.0,
                         help='sigma above which a grid cell is occupied')
-    parser.add_argument('--occ_range', nargs=2, type=float,
-                        default=[-1.5, 1.5],
-                        help='world extent of the occupancy grid per axis')
+    parser.add_argument('--occ_range', nargs='+', type=float, default=None,
+                        help='grid world extent: 2 values (symmetric lo hi)'
+                             ' or 6 (box corners); omit to auto-derive')
     parser.add_argument('--occ_N', type=int, default=128,
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_tighten', default=False, action='store_true',
@@ -87,16 +89,18 @@ def main(argv=None):
         test_time=True, fused=args.fused_mlp)
 
     if args.occ_grid:
-        from nerf_pl_tpu.rendering import CulledRenderer, build_occupancy_grid
+        from nerf_pl_tpu.rendering import (CulledRenderer,
+                                           load_or_build_grid, rays_aabb)
         t0 = time.perf_counter()
-        occ = build_occupancy_grid(
+        occ = load_or_build_grid(
+            args.ckpt_path,
             params["nerf_fine" if args.N_importance > 0 else "nerf_coarse"],
-            mcfg, N=args.occ_N, block=max(args.occ_N // 16, 1),
-            ranges=tuple(args.occ_range),
-            sigma_threshold=args.occ_threshold)
+            mcfg, N=args.occ_N, occ_range=args.occ_range,
+            sigma_threshold=args.occ_threshold,
+            aabb=rays_aabb(sample['rays']))
         print(f"occupancy grid: {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
-              f"({time.perf_counter() - t0:.1f}s build)")
+              f"({time.perf_counter() - t0:.1f}s build/load)")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=args.chunk,
                             tighten=args.occ_tighten)
 

@@ -255,3 +255,109 @@ class TestShardedRender:
         rays, _ = make_data(256)
         out = tr.render_fn(rcfg, chunk=32)(state.params, rays)
         assert "rgb_coarse" not in out and "rgb_fine" in out
+
+
+class TestStorePadding:
+    def test_tail_rays_not_dropped(self):
+        """drop_last=False semantics (reference DataLoader default): a store
+        not divisible by the global batch pads with head rays so every ray
+        is visited and steps_per_epoch_local == ceil(n / batch)."""
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, _ = make_data(1000)                 # 1000 % 256 != 0
+        rgbs = np.arange(1000, dtype=np.float32)[:, None].repeat(3, 1)
+        tr.set_data(rays, rgbs)
+        assert tr.all_rays.shape[0] == 1024       # padded to 4 * 256
+        assert tr.steps_per_epoch_local == 4      # == ceil(1000/256)
+        seen = []
+        for step in range(tr.steps_per_epoch_local):
+            _, got = tr._sample_batch(tr.all_rays, tr.all_rgbs,
+                                      jnp.asarray(step, jnp.int32))
+            seen.append(np.asarray(got)[:, 0])
+        ids = np.concatenate(seen)
+        # every original ray appears at least once (tail not dropped)
+        assert set(np.arange(1000)) <= set(ids.astype(int))
+
+
+class TestTightenStore:
+    def _boxed_data(self, n=512):
+        rng = np.random.default_rng(5)
+        o = np.zeros((n, 3), np.float32)
+        o[:, 2] = -5.0
+        d = np.zeros((n, 3), np.float32)
+        d[:, 2] = 1.0                              # all rays along +z
+        # half the rays offset to x=3 so they miss the unit box
+        miss = rng.random(n) < 0.5
+        o[miss, 0] = 3.0
+        rays = np.concatenate(
+            [o, d, np.full((n, 1), 0.1, np.float32),
+             np.full((n, 1), 10.0, np.float32)], 1)
+        rgbs = rng.random((n, 3)).astype(np.float32)
+        return rays, rgbs, miss
+
+    def test_hit_rays_clipped_miss_rays_kept(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs, _ = self._boxed_data()
+        tr.set_data(rays, rgbs, shuffle_seed=0)
+        boxes = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+        hit_frac, shrink = tr.tighten_store(boxes, margin=0.05)
+        assert 0.3 < hit_frac < 0.7
+        assert shrink > 0.2
+        out = np.asarray(tr.all_rays)
+        hit_rows = np.abs(out[:, 0]) < 1e-6       # x==0 rays hit the box
+        # box spans z in [-1,1]; ray hits t in [4,6]; margin 0.05
+        np.testing.assert_allclose(out[hit_rows, 6], 3.95, atol=1e-4)
+        np.testing.assert_allclose(out[hit_rows, 7], 6.05, atol=1e-4)
+        np.testing.assert_allclose(out[~hit_rows, 6], 0.1, atol=1e-6)
+        np.testing.assert_allclose(out[~hit_rows, 7], 10.0, atol=1e-6)
+
+    def test_idempotent_under_refresh(self):
+        """Re-tightening with a DIFFERENT grid derives from the ORIGINAL
+        intervals, not the previously shrunk ones."""
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs, _ = self._boxed_data()
+        tr.set_data(rays, rgbs)
+        small = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+        big = np.asarray([[-2, -2, -3, 2, 2, 3]], np.float32)
+        tr.tighten_store(small, margin=0.0)
+        tr.tighten_store(big, margin=0.0)         # must WIDEN back out
+        out = np.asarray(tr.all_rays)
+        hit_rows = np.abs(out[:, 0]) < 1e-6
+        np.testing.assert_allclose(out[hit_rows, 6], 2.0, atol=1e-4)
+        np.testing.assert_allclose(out[hit_rows, 7], 8.0, atol=1e-4)
+
+    def test_reshuffle_keeps_nf0_aligned(self):
+        """After tightening, the per-epoch reshuffle must permute the
+        original-interval store in lockstep with the rays."""
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs, _ = self._boxed_data()
+        # give every ray a unique original near so alignment is checkable
+        rays[:, 6] = 0.1 + 0.0001 * np.arange(len(rays))
+        tr.set_data(rays, rgbs)
+        boxes = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+        tr.tighten_store(boxes, margin=0.0)
+        tr.reshuffle(jax.random.PRNGKey(11))
+        tr.tighten_store(boxes, margin=0.0)       # re-derive post-shuffle
+        out = np.asarray(tr.all_rays)
+        nf0 = np.asarray(tr.all_nf0)
+        miss_rows = np.abs(out[:, 0]) > 1e-6
+        # miss rays carry their ORIGINAL unique near -> pairing survived
+        np.testing.assert_allclose(out[miss_rows, 6], nf0[miss_rows, 0],
+                                   atol=1e-7)
+        assert len(np.unique(nf0[:, 0])) == len(nf0)
+
+    def test_training_descends_after_tighten(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh)
+        rays, rgbs, _ = self._boxed_data(4096)
+        tr.set_data(rays, rgbs)
+        boxes = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+        tr.tighten_store(boxes, margin=0.1)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = tr.run_steps(state, jax.random.PRNGKey(1), 24)
+        losses = np.asarray(m["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-8:].mean() < losses[:8].mean()

@@ -316,3 +316,65 @@ class TestEndToEnd:
                         enable_tb=False)
         s2.fit()
         assert int(s2.state.step) > step1
+
+
+class TestSegmentClamping:
+    def test_reshuffle_fires_exactly_at_epoch_boundaries(self, tmp_path):
+        """scan segments are clamped to epoch boundaries so the per-epoch
+        reshuffle fires exactly at steps_per_epoch multiples (ADVICE r2:
+        a mid-epoch segment would re-read stale-permutation blocks)."""
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_blender_scene
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=2,
+                                  n_val=1, n_test=1, wh=(16, 16))
+        # 2*16*16 = 512 rays, batch 96 -> steps_per_epoch = ceil = 6;
+        # scan_steps 4 does NOT divide 6.
+        hp = Hparams(root_dir=root, dataset_name="blender", img_wh=(16, 16),
+                     N_samples=8, N_importance=0, batch_size=96,
+                     num_epochs=3, lr=5e-4, decay_step=[100], scan_steps=4,
+                     val_chunk=256, exp_name="clamp_e2e")
+        os.chdir(tmp_path)
+        system = NeRFSystem(hp, enable_tb=False)
+        calls = []
+        system.prepare_data()
+        system.setup()
+        orig = system.trainer.reshuffle
+        system.trainer.reshuffle = lambda key: (
+            calls.append(int(system.state.step)), orig(key))[1]
+        # re-run fit without re-setup: emulate by driving the loop directly
+        system.prepare_data = lambda: None
+        system.setup = lambda: None
+        system.fit()
+        assert system.steps_per_epoch == 6
+        assert calls == [6, 12]      # at boundaries only; none at the end
+
+
+@pytest.mark.slow
+class TestOccTrainEndToEnd:
+    def test_fit_with_occupancy_tightening(self, tmp_path, capsys):
+        """--occ_train end to end: grid built after warmup, store tightened,
+        training still converges."""
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_blender_scene
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=12,
+                                  n_val=1, n_test=1, wh=(24, 24))
+        hp = Hparams(root_dir=root, dataset_name="blender",
+                     img_wh=(24, 24), N_samples=16, N_importance=8,
+                     perturb=1.0, noise_std=1.0, batch_size=256,
+                     num_epochs=13, lr=7e-4, decay_step=[100],
+                     scan_steps=81, val_chunk=288, exp_name="occ_train_e2e",
+                     occ_train=True, occ_warmup_epochs=3,
+                     occ_refresh_epochs=4, occ_N=32, occ_threshold=0.5,
+                     occ_margin=0.1)
+        os.chdir(tmp_path)
+        system = NeRFSystem(hp, enable_tb=False)
+        final = system.fit()
+        out = capsys.readouterr().out
+        assert "[occ]" in out          # tightening actually fired
+        assert final["val/psnr"] > 16.0
+        # the store's sampling intervals really shrank for some rays
+        nf0 = np.asarray(system.trainer.all_nf0)
+        cur = np.asarray(system.trainer.all_rays)[:, 6:8]
+        assert nf0 is not None
+        shrunk = (cur[:, 1] - cur[:, 0]) < (nf0[:, 1] - nf0[:, 0]) - 1e-4
+        assert shrunk.mean() > 0.1
