@@ -73,6 +73,12 @@ def get_opts(argv=None):
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_tighten', default=False, action='store_true',
                         help='clip surviving rays to their occupied interval')
+    parser.add_argument('--frames_per_dispatch', type=int, default=4,
+                        help='frames rendered per device dispatch: rays of '
+                             'N poses are pooled into one program call, '
+                             'amortizing per-frame host round-trips (and, '
+                             'with --occ_grid, packing survivor tiles '
+                             'across frames)')
     return parser.parse_args(argv)
 
 
@@ -166,31 +172,45 @@ def main(argv=None):
     os.makedirs(dir_name, exist_ok=True)
 
     imgs, psnrs = [], []
-    for i in range(len(dataset)):
-        sample = dataset[i]
-        results = render(params, sample['rays'])
-        img_pred = results[f'rgb_{typ}'].reshape(h, w, 3)
+    px = h * w
+    fpd = max(1, args.frames_per_dispatch)
+    for start in range(0, len(dataset), fpd):
+        idxs = list(range(start, min(start + fpd, len(dataset))))
+        samples = [dataset[i] for i in idxs]
+        rays_all = np.concatenate([s['rays'] for s in samples], 0)
+        # pad the tail group to a full dispatch so every group compiles to
+        # the same program (padded frames rendered then dropped)
+        n_pad_frames = fpd - len(idxs) if start else 0
+        if n_pad_frames:
+            rays_all = np.concatenate(
+                [rays_all] + [samples[-1]['rays']] * n_pad_frames, 0)
+        results = render(params, rays_all)
 
-        if args.save_depth:
-            depth_pred = np.nan_to_num(
-                results[f'depth_{typ}'].reshape(h, w))
-            if args.depth_format == 'pfm':
-                save_pfm(os.path.join(dir_name, f'depth_{i:03d}.pfm'),
-                         depth_pred.astype(np.float32))
-            else:
-                with open(os.path.join(dir_name, f'depth_{i:03d}'), 'wb') as f:
-                    f.write(depth_pred.tobytes())
+        for j, (i, sample) in enumerate(zip(idxs, samples)):
+            img_pred = results[f'rgb_{typ}'][j * px:(j + 1) * px] \
+                .reshape(h, w, 3)
+            if args.save_depth:
+                depth_pred = np.nan_to_num(
+                    results[f'depth_{typ}'][j * px:(j + 1) * px]
+                    .reshape(h, w))
+                if args.depth_format == 'pfm':
+                    save_pfm(os.path.join(dir_name, f'depth_{i:03d}.pfm'),
+                             depth_pred.astype(np.float32))
+                else:
+                    with open(os.path.join(dir_name, f'depth_{i:03d}'),
+                              'wb') as f:
+                        f.write(depth_pred.tobytes())
 
-        img_pred_ = (np.clip(img_pred, 0, 1) * 255).astype(np.uint8)
-        imgs.append(img_pred_)
-        Image.fromarray(img_pred_).save(
-            os.path.join(dir_name, f'{i:03d}.png'))
+            img_pred_ = (np.clip(img_pred, 0, 1) * 255).astype(np.uint8)
+            imgs.append(img_pred_)
+            Image.fromarray(img_pred_).save(
+                os.path.join(dir_name, f'{i:03d}.png'))
 
-        if 'rgbs' in sample:
-            psnrs.append(float(psnr_fn(jnp.asarray(img_pred),
-                                       jnp.asarray(sample['rgbs']
-                                                   .reshape(h, w, 3)))))
-        print(f"[eval] frame {i + 1}/{len(dataset)}", flush=True)
+            if 'rgbs' in sample:
+                psnrs.append(float(psnr_fn(
+                    jnp.asarray(img_pred),
+                    jnp.asarray(sample['rgbs'].reshape(h, w, 3)))))
+        print(f"[eval] frame {idxs[-1] + 1}/{len(dataset)}", flush=True)
 
     save_gif(os.path.join(dir_name, f'{args.scene_name}.gif'), imgs, fps=30)
 

@@ -4,8 +4,11 @@ nerf_pl_tpu/utils/synthetic.py: render_hard_scene_rgba for the scene spec
 and why it targets reference difficulty).
 
 Outputs (gitignored; regenerate with this script):
-  data/hard_blender : Blender format, 400x400, 100 train / 8 val / 25 test
-  data/hard_llff    : LLFF format, 504x378, 30 forward-facing views
+  data/hard_blender  : Blender format, 400x400, 100 train / 8 val / 25 test
+  data/hard_llff     : LLFF format, 504x378, 30 forward-facing views
+  data/hard_llff_sph : LLFF format, 504x378, 30 views on a full 360-degree
+                       circle (train with --spheric_poses; reference
+                       llff.py:243-245, 299-301)
 Deterministic: re-running reproduces byte-identical images.
 """
 import argparse
@@ -30,6 +33,7 @@ def main():
     ap.add_argument("--n_train", type=int, default=100)
     ap.add_argument("--skip_blender", action="store_true")
     ap.add_argument("--skip_llff", action="store_true")
+    ap.add_argument("--skip_spheric", action="store_true")
     args = ap.parse_args()
 
     if not args.skip_blender:
@@ -57,6 +61,25 @@ def main():
             render_fn=render_hard_scene_rgba, cam_pos_fn=cam_pos_fn,
             up=(0, 0, 1), scene_radius=1.8)
         print(f"llff scene -> {root} ({time.time() - t0:.0f}s)", flush=True)
+
+    if not args.skip_spheric:
+        t0 = time.time()
+
+        def sph_pos_fn(off):
+            # full 360-degree circle at ~30-degree elevation: off spans
+            # [-0.2, 0.2] (make_llff_scene's lateral-offset parameter),
+            # remapped to azimuth in [0, 2*pi)
+            theta = 2.0 * np.pi * (off / 0.4 + 0.5)
+            return np.array([3.5 * np.cos(theta), 3.5 * np.sin(theta), 2.0])
+
+        root = make_llff_scene(
+            os.path.join(args.out, "hard_llff_sph"),
+            n_images=30, wh=tuple(args.llff_wh),
+            cam_dist=float(np.hypot(3.5, 2.0)),
+            render_fn=render_hard_scene_rgba, cam_pos_fn=sph_pos_fn,
+            up=(0, 0, 1), scene_radius=1.8)
+        print(f"llff spheric scene -> {root} ({time.time() - t0:.0f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":
