@@ -210,8 +210,11 @@ def auto_ranges(params: Dict, mcfg: ModelConfig,
     lo_fit = lo + (idx.min(0) - 2) * cell
     hi_fit = lo + (idx.max(0) + 3) * cell
     pad = (hi_fit - lo_fit) * pad_frac
-    return ((lo_fit - pad).astype(np.float32),
-            (hi_fit + pad).astype(np.float32))
+    # Clamp to the viewing-volume AABB: no ray samples outside it, so
+    # density there (hallucinated, unsupervised) is unreachable — growing
+    # the grid past the hull only wastes resolution.
+    return (np.maximum(lo_fit - pad, lo).astype(np.float32),
+            np.minimum(hi_fit + pad, hi).astype(np.float32))
 
 
 def resolve_ranges(occ_range, params: Dict, mcfg: ModelConfig,
@@ -244,7 +247,8 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
                          sigma_threshold: float = 1.0,
                          chunk: int = 128 * 1024,
                          max_boxes: int = 512,
-                         auto_widen: int = 2) -> OccupancyGrid:
+                         auto_widen: int = 2,
+                         max_ranges=None) -> OccupancyGrid:
     """Build the culling structure from a trained (fine) model's sigma field.
 
     Args:
@@ -261,6 +265,9 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         (observed: a +/-1.5 grid on a +/-1.7 scene cost 5 dB). When > 0,
         the box is widened 1.3x about its center and rebuilt, up to this
         many times; a loud warning remains as the last resort.
+      max_ranges: optional (lo3, hi3) cap for auto-widen — normally the
+        viewing-volume AABB (rays_aabb): no ray samples beyond it, so
+        boundary contact at the cap is harmless and emits no warning.
     """
     if np.ndim(ranges[0]) == 0:
         lo = np.full(3, ranges[0], np.float32)
@@ -270,6 +277,11 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         hi = np.asarray(ranges[1], np.float32)
     assert N % block == 0, f"N={N} must be divisible by block={block}"
 
+    if max_ranges is not None:
+        cap_lo = np.asarray(max_ranges[0], np.float32)
+        cap_hi = np.asarray(max_ranges[1], np.float32)
+        lo, hi = np.maximum(lo, cap_lo), np.minimum(hi, cap_hi)
+
     fn = jax.jit(functools.partial(
         _sigma_block_map, mcfg=mcfg, N=N, block=block,
         sigma_threshold=float(sigma_threshold), chunk=chunk))
@@ -277,12 +289,17 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         block_map = np.asarray(fn(params, lo=jnp.asarray(lo),
                                   hi=jnp.asarray(hi)))
         n_edge = _boundary_occupied(block_map)
-        if not n_edge or attempt == auto_widen:
+        at_cap = max_ranges is not None and \
+            np.allclose(lo, cap_lo, atol=1e-5) and \
+            np.allclose(hi, cap_hi, atol=1e-5)
+        if not n_edge or attempt == auto_widen or at_cap:
             break
         center = 0.5 * (lo + hi)
         lo = center + (lo - center) * 1.3
         hi = center + (hi - center) * 1.3
-    if n_edge:
+        if max_ranges is not None:
+            lo, hi = np.maximum(lo, cap_lo), np.minimum(hi, cap_hi)
+    if n_edge and not at_cap:
         import warnings
         warnings.warn(
             f"occupancy grid: {n_edge} occupied blocks touch the grid "
@@ -350,11 +367,13 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
         raise ValueError("auto occupancy ranges need the dataset rays' "
                          "AABB (pass aabb=rays_aabb(...)) or an explicit "
                          "--occ_range")
+    auto = occ_range is None or occ_range == "auto"
     ranges = resolve_ranges(occ_range, params, mcfg, aabb=aabb,
                             sigma_threshold=sigma_threshold)
     occ = build_occupancy_grid(params, mcfg, N=N, block=pick_block(N),
                                ranges=ranges,
-                               sigma_threshold=sigma_threshold)
+                               sigma_threshold=sigma_threshold,
+                               max_ranges=aabb if auto else None)
     np.savez(path, key=key, boxes=occ.boxes, block_map=occ.block_map,
              lo=occ.lo, hi=occ.hi)
     if verbose:

@@ -147,13 +147,15 @@ class NeRFSystem:
         hp = self.hparams
         params = self.state.params.get("nerf_fine",
                                        self.state.params["nerf_coarse"])
+        aabb = rays_aabb(self.train_dataset.all_rays)
+        auto = hp.occ_range is None
         ranges = resolve_ranges(
-            hp.occ_range, params, self.mcfg,
-            aabb=rays_aabb(self.train_dataset.all_rays),
+            hp.occ_range, params, self.mcfg, aabb=aabb,
             sigma_threshold=hp.occ_threshold)
         occ = build_occupancy_grid(
             params, self.mcfg, N=hp.occ_N, block=pick_block(hp.occ_N),
-            ranges=ranges, sigma_threshold=hp.occ_threshold)
+            ranges=ranges, sigma_threshold=hp.occ_threshold,
+            max_ranges=aabb if auto else None)
         if occ.n_boxes == 0:
             print("[occ] grid empty (model not yet dense) — store unchanged")
             return

@@ -229,8 +229,8 @@ class TestRaysAabb:
 
 class TestAutoRanges:
     def test_dense_model_refits_inside_aabb(self):
-        """sigma > threshold everywhere -> refit box ~ the probe AABB
-        (plus the 2-cell + pad margin)."""
+        """sigma > threshold everywhere -> refit box clamps to the probe
+        AABB (nothing outside the viewing volume is reachable by a ray)."""
         from nerf_pl_tpu.rendering import auto_ranges
         mcfg = small_mcfg()
         params = init_nerf_params(jax.random.PRNGKey(0), mcfg.nerf)
@@ -238,10 +238,8 @@ class TestAutoRanges:
         aabb = (np.full(3, -2, np.float32), np.full(3, 2, np.float32))
         lo, hi = auto_ranges(params, mcfg, aabb, sigma_threshold=0.5,
                              probe_N=8)
-        cell = 4.0 / 8
-        pad = (4.0 + 4 * cell) * 0.05   # refit span = (N + 4) cells
-        np.testing.assert_allclose(lo, -2 - 2 * cell - pad, atol=1e-5)
-        np.testing.assert_allclose(hi, 2 + 2 * cell + pad, atol=1e-5)
+        np.testing.assert_allclose(lo, -2, atol=1e-5)
+        np.testing.assert_allclose(hi, 2, atol=1e-5)
 
     def test_empty_model_returns_aabb(self):
         from nerf_pl_tpu.rendering import auto_ranges
@@ -359,3 +357,21 @@ class TestCulledMesh:
                 np.testing.assert_allclose(np.asarray(out[k])[hit],
                                            np.asarray(dense[k])[hit],
                                            atol=5e-3, rtol=5e-3)
+
+    def test_widen_capped_at_viewing_volume(self):
+        """With max_ranges (the rays' AABB), boundary contact at the cap is
+        harmless (nothing outside is reachable): no widen past it, no
+        warning."""
+        import warnings as _w
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(0), mcfg.nerf)
+        params["sigma"]["b"] = params["sigma"]["b"] + 50.0
+        cap = (np.full(3, -1.2, np.float32), np.full(3, 1.2, np.float32))
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            occ = build_occupancy_grid(params, mcfg, N=8, block=4,
+                                       ranges=(-1.0, 1.0),
+                                       sigma_threshold=0.5, chunk=64,
+                                       auto_widen=2, max_ranges=cap)
+        np.testing.assert_allclose(occ.lo, -1.2, atol=1e-5)
+        np.testing.assert_allclose(occ.hi, 1.2, atol=1e-5)
