@@ -73,6 +73,11 @@ def get_opts(argv=None):
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_tighten', default=False, action='store_true',
                         help='clip surviving rays to their occupied interval')
+    parser.add_argument('--occ_budgets', default=False, action='store_true',
+                        help='with --occ_tighten: render short-span rays '
+                             'with proportionally fewer samples (per-unit-'
+                             'length sample density never drops below the '
+                             'dense render)')
     parser.add_argument('--frames_per_dispatch', type=int, default=4,
                         help='frames rendered per device dispatch: rays of '
                              'N poses are pooled into one program call, '
@@ -156,7 +161,8 @@ def main(argv=None):
         print(f"[occ] {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
-                            tighten=args.occ_tighten, mesh=mesh)
+                            tighten=args.occ_tighten or args.occ_budgets,
+                            budgets=args.occ_budgets, mesh=mesh)
 
         def render(params, rays):
             out = cr(params, jnp.asarray(rays))

@@ -439,14 +439,28 @@ class CulledRenderer:
     data axis (shard_map), composing culling with multi-chip rendering the
     same way Trainer.render_fn shards the dense path. Params must be
     replicated on the mesh by the caller.
+
+    `budgets=True` (requires `tighten`) additionally buckets survivors by
+    how much their interval shrank and renders short-span rays with
+    proportionally fewer samples: a ray whose occupied span is <= 1/4 of
+    its original [near, far] gets N/4 coarse (and N_importance/4 fine)
+    samples — its per-unit-length sample DENSITY never drops below the
+    dense render's, so quality is preserved while skipping the empty-space
+    FLOPs the dense render wastes (the NerfAcc capability, restructured
+    for static shapes: per-bucket programs instead of ragged rays).
     """
+
+    _BUCKET_FRACS = (0.25, 0.5, 1.0)   # sample fraction per span bucket
 
     def __init__(self, occ: OccupancyGrid, rcfg: RenderConfig,
                  mcfg: ModelConfig = ModelConfig(), chunk: int = 20480,
                  tighten: bool = False, tighten_margin: float = 0.05,
-                 mesh=None):
+                 mesh=None, budgets: bool = False):
         if occ.n_boxes == 0:
             raise ValueError("occupancy grid is empty — threshold too high?")
+        if budgets and not tighten:
+            raise ValueError("budgets=True requires tighten=True (budgets "
+                             "are derived from the tightened spans)")
         self.boxes = jnp.asarray(occ.boxes)
         self.rcfg = rcfg
         self.mcfg = mcfg
@@ -455,37 +469,61 @@ class CulledRenderer:
         self.margin = tighten_margin
         self.mesh = mesh
         self.n_data = 1 if mesh is None else mesh.shape["data"]
-        self._programs: Dict[int, Any] = {}
+        self.budgets = budgets
+        self._programs: Dict[Any, Any] = {}
         self._cull = None
 
     def _cull_fn(self):
         if self._cull is not None:
             return self._cull
         tighten, margin = self.tighten, self.margin
+        budgets, fracs = self.budgets, self._BUCKET_FRACS
 
         @jax.jit
         def cull(boxes, rays):
             hit, tlo, thi = ray_box_hits(boxes, rays)
+            near0, far0 = rays[:, 6], rays[:, 7]
             if tighten:
-                near = jnp.where(hit, jnp.maximum(rays[:, 6], tlo - margin),
-                                 rays[:, 6])
-                far_ = jnp.where(hit, jnp.minimum(rays[:, 7], thi + margin),
-                                 rays[:, 7])
+                near = jnp.where(hit, jnp.maximum(near0, tlo - margin),
+                                 near0)
+                far_ = jnp.where(hit, jnp.minimum(far0, thi + margin), far0)
                 far_ = jnp.maximum(far_, near + 1e-4)
                 rays = jnp.concatenate(
                     [rays[:, :6], near[:, None], far_[:, None]], axis=1)
-            order = jnp.argsort(~hit, stable=True)     # survivors first
+            if budgets:
+                # span bucket: smallest b with span/full <= fracs[b];
+                # misses sort last (key = len(fracs))
+                ratio = (far_ - near) / jnp.maximum(far0 - near0, 1e-12)
+                key = jnp.zeros(rays.shape[0], jnp.int32)
+                for f in fracs[:-1]:
+                    key = key + (ratio > f).astype(jnp.int32)
+                key = jnp.where(hit, key, len(fracs))
+                counts = jnp.stack(
+                    [jnp.sum((key == b).astype(jnp.int32))
+                     for b in range(len(fracs))])
+            else:
+                key = (~hit).astype(jnp.int32)         # survivors first
+                counts = jnp.sum(hit.astype(jnp.int32))[None]
+            order = jnp.argsort(key, stable=True)
             rays_sorted = jnp.take(rays, order, axis=0)
-            return rays_sorted, order, jnp.sum(hit.astype(jnp.int32))
+            return rays_sorted, order, counts
 
         self._cull = cull
         return cull
 
-    def _program(self, n_tiles: int, R: int):
-        key = (n_tiles, R)
+    def _chunk_for(self, R: int) -> int:
+        """Effective tile size: never materially larger than the image
+        itself needs (a gran-rounded tile count at full self.chunk would
+        over-render small images ~gran-fold), multiple of 8."""
+        gran = max(2, self.n_data)
+        per = -(-R // gran)
+        return min(self.chunk, -(-per // 8) * 8)
+
+    def _program(self, n_tiles: int, R: int, chunk: int):
+        key = (n_tiles, R, chunk)
         if key in self._programs:
             return self._programs[key]
-        chunk, rcfg, mcfg = self.chunk, self.rcfg, self.mcfg
+        rcfg, mcfg = self.rcfg, self.mcfg
         white = rcfg.white_back
         mesh = self.mesh
 
@@ -523,6 +561,75 @@ class CulledRenderer:
         self._programs[key] = run
         return run
 
+    def _rcfg_for_frac(self, frac: float) -> RenderConfig:
+        """Scaled-sample config for a span bucket (floors keep tiny spans
+        from degenerating; density only ever increases)."""
+        if frac >= 1.0:
+            return self.rcfg
+        N_s = max(int(self.rcfg.N_samples * frac), 16)
+        N_i = self.rcfg.N_importance
+        if N_i > 0:
+            N_i = max(int(N_i * frac), 16)
+        return dataclasses.replace(self.rcfg, N_samples=N_s,
+                                   N_importance=N_i)
+
+    def _bucket_program(self, n_tiles: int, R: int, frac: float,
+                        chunk: int):
+        """Jitted render of n_tiles chunks starting at a DYNAMIC offset of
+        the sorted ray array, scattered into a running (R+1)-row image
+        (row R is the dump slot for the tile-rounding spillover)."""
+        pkey = ("bucket", n_tiles, R, frac, chunk)
+        if pkey in self._programs:
+            return self._programs[pkey]
+        mcfg = self.mcfg
+        rcfg = self._rcfg_for_frac(frac)
+        mesh = self.mesh
+
+        def tile_render(params, tiles, key_):
+            return jax.lax.map(
+                lambda r: render_rays(params, r, key_, rcfg, mcfg), tiles)
+
+        if mesh is not None and self.n_data > 1:
+            from jax.sharding import PartitionSpec as P
+            tile_render = jax.shard_map(
+                tile_render, mesh=mesh,
+                in_specs=(P(), P("data"), P()), out_specs=P("data"),
+                check_vma=False)
+
+        @jax.jit
+        def run(params, rays_sorted, order, start, n_b, img, key_):
+            n = n_tiles * chunk
+            sl = jax.lax.dynamic_slice(rays_sorted, (start, 0), (n, 8))
+            out = tile_render(params, sl.reshape(n_tiles, chunk, 8), key_)
+            flat = {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
+            idx_raw = jax.lax.dynamic_slice(order, (start,), (n,))
+            rows = jnp.arange(n)
+            # rows beyond this bucket's count belong to the next bucket /
+            # the culled set: dump them (they re-render correctly later or
+            # must keep the background)
+            idx = jnp.where(rows < n_b, idx_raw, R)
+            for k in img:
+                if k in flat:
+                    img[k] = img[k].at[idx].set(flat[k])
+            return img
+
+        self._programs[pkey] = run
+        return run
+
+    def _round_tiles(self, n: int, cap_tiles: int, chunk: int) -> int:
+        gran = max(2, self.n_data)
+        n_tiles = max(1, -(-n // chunk))
+        return min(-(-n_tiles // gran) * gran, -(-cap_tiles // gran) * gran)
+
+    def _background(self, R: int):
+        typ = "fine" if self.rcfg.N_importance > 0 else "coarse"
+        bg_rgb = 1.0 if self.rcfg.white_back else 0.0
+        return typ, {
+            f"rgb_{typ}": jnp.full((R + 1, 3), bg_rgb, jnp.float32),
+            f"depth_{typ}": jnp.zeros((R + 1,), jnp.float32),
+            f"opacity_{typ}": jnp.zeros((R + 1,), jnp.float32),
+        }
+
     def __call__(self, params, rays, key: Optional[jax.Array] = None,
                  return_stats: bool = False):
         """Render (R, 8) rays -> dict of (R, ...) arrays (device)."""
@@ -530,25 +637,57 @@ class CulledRenderer:
             key = jax.random.PRNGKey(0)
         R = rays.shape[0]
         rays = jnp.asarray(rays)
-        rays_sorted, order, n_hit = self._cull_fn()(self.boxes, rays)
-        n = int(n_hit)                                  # scalar readback
-        n_tiles_exact = max(1, -(-n // self.chunk))
-        # bucket the tile count to a multiple of gran (bounds program count
-        # at R/(gran*chunk), ≤8% waste at gran=2) — and to the data-axis
-        # size so shard_map splits survivors evenly across chips
+        rays_sorted, order, counts = self._cull_fn()(self.boxes, rays)
+        counts_h = np.asarray(counts)                   # one readback
+        n = int(counts_h.sum())                         # survivors
+        chunk = self._chunk_for(R)
+        cap_tiles = -(-R // chunk)                      # all rays survive
+
+        if not self.budgets:
+            n_tiles = self._round_tiles(max(n, 1), cap_tiles, chunk)
+            # pad the sorted rays so n_tiles*chunk rows always exist;
+            # padded rows duplicate the last real ray (rendered, dropped)
+            total = n_tiles * chunk
+            if total > R:
+                rays_sorted = jnp.concatenate(
+                    [rays_sorted,
+                     jnp.broadcast_to(rays_sorted[-1:], (total - R, 8))], 0)
+            out = self._program(n_tiles, R, chunk)(params, rays_sorted,
+                                                   order, key)
+            if return_stats:
+                return out, {"n_rays": R, "n_survivors": n,
+                             "n_rendered": total,
+                             "n_boxes": self.boxes.shape[0]}
+            return out
+
+        # ---- budgets: one program per non-empty span bucket, chained ----
+        # pad once so every bucket's dynamic slice (start <= R plus up to
+        # the gran-rounded cap of tiles) stays in bounds; padded order
+        # entries point at the dump row
         gran = max(2, self.n_data)
-        n_tiles_cap = -(-R // self.chunk)               # all rays survive
-        n_tiles = min(-(-n_tiles_exact // gran) * gran,
-                      -(-n_tiles_cap // gran) * gran)
-        # pad the sorted rays so n_tiles*chunk rows always exist; padded
-        # rows duplicate the last real ray (rendered then dropped)
-        total = n_tiles * self.chunk
-        if total > R:
-            rays_sorted = jnp.concatenate(
-                [rays_sorted,
-                 jnp.broadcast_to(rays_sorted[-1:], (total - R, 8))], 0)
-        out = self._program(n_tiles, R)(params, rays_sorted, order, key)
+        pad_rows = (-(-cap_tiles // gran) * gran) * chunk
+        rays_sorted = jnp.concatenate(
+            [rays_sorted,
+             jnp.broadcast_to(rays_sorted[-1:], (pad_rows, 8))], 0)
+        order = jnp.concatenate(
+            [order, jnp.full((pad_rows,), R, order.dtype)], 0)
+        typ, img = self._background(R)
+        starts = np.concatenate([[0], np.cumsum(counts_h)])
+        rendered = 0
+        for b, frac in enumerate(self._BUCKET_FRACS):
+            n_b = int(counts_h[b])
+            if n_b == 0:
+                continue
+            n_tiles = self._round_tiles(n_b, cap_tiles, chunk)
+            rendered += n_tiles * chunk
+            img = self._bucket_program(n_tiles, R, frac, chunk)(
+                params, rays_sorted, order,
+                jnp.asarray(int(starts[b]), jnp.int32),
+                jnp.asarray(n_b, jnp.int32), img, key)
+        out = {k: v[:R] for k, v in img.items()}
         if return_stats:
             return out, {"n_rays": R, "n_survivors": n,
-                         "n_rendered": total, "n_boxes": self.boxes.shape[0]}
+                         "n_rendered": rendered,
+                         "bucket_counts": counts_h.tolist(),
+                         "n_boxes": self.boxes.shape[0]}
         return out

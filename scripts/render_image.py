@@ -52,6 +52,10 @@ def main(argv=None):
                         help='also clip each surviving ray to its occupied '
                              'interval (concentrates samples; output no '
                              'longer bit-exact with the dense render)')
+    parser.add_argument('--occ_budgets', default=False, action='store_true',
+                        help='with tightening: short-span rays rendered '
+                             'with proportionally fewer samples (density '
+                             'never below the dense render)')
     parser.add_argument('--out_dir', type=str, default='.')
     args = parser.parse_args(argv)
 
@@ -102,7 +106,8 @@ def main(argv=None):
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
               f"({time.perf_counter() - t0:.1f}s build/load)")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=args.chunk,
-                            tighten=args.occ_tighten)
+                            tighten=args.occ_tighten or args.occ_budgets,
+                            budgets=args.occ_budgets)
 
         def render(params, rays):
             out, stats = cr(params, jnp.asarray(rays), return_stats=True)

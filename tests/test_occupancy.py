@@ -375,3 +375,61 @@ class TestCulledMesh:
                                        auto_widen=2, max_ranges=cap)
         np.testing.assert_allclose(occ.lo, -1.2, atol=1e-5)
         np.testing.assert_allclose(occ.hi, 1.2, atol=1e-5)
+
+
+class TestBudgetedRenderer:
+    def _setup(self):
+        """Random-init model with an artificial 2-box grid; rays split into
+        short-span (through the small box) and full-span groups."""
+        mcfg = small_mcfg()
+        p1 = init_nerf_params(jax.random.PRNGKey(2), mcfg.nerf)
+        params = {"nerf_coarse": p1, "nerf_fine": p1}
+        occ = OccupancyGrid(
+            boxes=np.asarray([[-0.2, -0.2, -0.2, 0.2, 0.2, 0.2],
+                              [-2, -2, 2.0, 2, 2, 2.4]], np.float32),
+            block_map=np.ones((2, 2, 2), np.uint8),
+            lo=np.full(3, -2, np.float32), hi=np.full(3, 2.4, np.float32))
+        rng = np.random.default_rng(1)
+        R = 800
+        o = np.zeros((R, 3), np.float32)
+        o[:, 2] = -5.0
+        d = np.zeros((R, 3), np.float32)
+        d[:, 2] = 1.0
+        # half the rays offset to x=1 (hit only the big slab: longer span
+        # relative to... both boxes are crossed quickly by +z rays, so
+        # randomize some rays to miss everything via x=5
+        o[rng.random(R) < 0.3, 0] = 1.0   # slab-only rays
+        o[rng.random(R) < 0.2, 0] = 5.0   # miss rays
+        rays = np.concatenate(
+            [o, d, np.full((R, 1), 0.1, np.float32),
+             np.full((R, 1), 10.0, np.float32)], 1)
+        rcfg = RenderConfig(N_samples=64, N_importance=32, test_time=True)
+        return mcfg, params, occ, rays, rcfg
+
+    def test_buckets_and_quality(self):
+        mcfg, params, occ, rays, rcfg = self._setup()
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True,
+                            budgets=True)
+        out, st = cr(params, jnp.asarray(rays), return_stats=True)
+        assert sum(st["bucket_counts"]) == st["n_survivors"]
+        # short-span rays exist (0.4-long box over a 9.9 interval -> <1/4)
+        assert st["bucket_counts"][0] > 0
+        # budget render must track the full-sample tightened render closely
+        # on SURVIVORS (misses: budgets give exact background, while the
+        # full path's tile-rounding spillover renders some of them — its
+        # documented near-parity quirk)
+        cr_full = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True)
+        ref, _ = cr_full(params, jnp.asarray(rays), return_stats=True)
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(rays))[0])
+        for k in out:
+            a, b = np.asarray(out[k])[hit], np.asarray(ref[k])[hit]
+            assert np.mean((a - b) ** 2) < 1e-3, (k, np.mean((a - b) ** 2))
+        # and misses keep the exact analytic background
+        bg = np.asarray(out["rgb_fine"])[~hit]
+        np.testing.assert_array_equal(bg, np.zeros_like(bg))
+
+    def test_budgets_require_tighten(self):
+        mcfg, params, occ, rays, rcfg = self._setup()
+        with pytest.raises(ValueError, match="tighten"):
+            CulledRenderer(occ, rcfg, mcfg, budgets=True)
