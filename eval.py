@@ -10,6 +10,7 @@ so the coarse pass is sigma-only) becomes one jitted sharded renderer
 (Trainer.render_fn) tiling fixed-size ray blocks across the mesh.
 """
 import os
+import time
 from argparse import ArgumentParser
 
 import numpy as np
@@ -180,6 +181,7 @@ def main(argv=None):
     imgs, psnrs = [], []
     px = h * w
     fpd = max(1, args.frames_per_dispatch)
+    render_time = 0.0
     for start in range(0, len(dataset), fpd):
         idxs = list(range(start, min(start + fpd, len(dataset))))
         samples = [dataset[i] for i in idxs]
@@ -190,7 +192,9 @@ def main(argv=None):
         if n_pad_frames:
             rays_all = np.concatenate(
                 [rays_all] + [samples[-1]['rays']] * n_pad_frames, 0)
+        t0 = time.perf_counter()
         results = render(params, rays_all)
+        render_time += time.perf_counter() - t0
 
         for j, (i, sample) in enumerate(zip(idxs, samples)):
             img_pred = results[f'rgb_{typ}'][j * px:(j + 1) * px] \
@@ -220,6 +224,10 @@ def main(argv=None):
 
     save_gif(os.path.join(dir_name, f'{args.scene_name}.gif'), imgs, fps=30)
 
+    n_f = len(dataset)
+    print(f"[eval] {n_f} frames rendered in {render_time:.1f} s "
+          f"({render_time / max(n_f, 1):.2f} s/frame incl. first-dispatch "
+          f"compile; {60 * n_f / max(render_time, 1e-9):.1f} frames/min)")
     if psnrs:
         print(f'Mean PSNR : {np.mean(psnrs):.2f}')
     return np.mean(psnrs) if psnrs else None

@@ -4,6 +4,7 @@ quadrature + MLP against jax.grad of the reference implementation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_pl_tpu.models import (EmbeddingConfig, NeRFConfig, embed,
                                 init_nerf_params, nerf_apply)
@@ -103,6 +104,8 @@ class TestGradientParity:
                 rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
                 assert rel < 0.03, f"{name}/{leaf}: rel {rel}"
 
+    @pytest.mark.slow
+
     def test_mse_loss_grads_match_reference(self):
         params = dense_params()
         rays, z = make_rays()
@@ -119,6 +122,8 @@ class TestGradientParity:
             return jnp.mean((q["rgb"] - gt) ** 2)
 
         self._grads(loss_fused, loss_ref, params)
+
+    @pytest.mark.slow
 
     def test_grad_direction_vs_f32_reference(self):
         """At realistic parameter scale the fused gradients point the same
@@ -152,6 +157,8 @@ class TestGradientParity:
                 b = np.asarray(g_r[name][leaf]).ravel()
                 cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
                 assert cos > 0.95, f"{name}/{leaf}: cos {cos}"
+
+    @pytest.mark.slow
 
     def test_depth_and_opacity_cotangents(self):
         """The VJP handles losses on depth/opacity, not just rgb."""
@@ -233,6 +240,8 @@ class TestLossFused:
         np.testing.assert_allclose(np.asarray(weights),
                                    np.asarray(ref_w), atol=1e-6)
 
+    @pytest.mark.slow
+
     def test_step_matches_jax_grad_step(self):
         """fused_mse_train_step == value_and_grad over render_rays
         (fused_train config), including the hierarchical pass."""
@@ -267,6 +276,8 @@ class TestLossFused:
                     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
                     assert rel < 1e-3, f"{model}/{name}/{leaf}: {rel}"
 
+    @pytest.mark.slow
+
     def test_trainer_descends_with_fused_loss(self):
         from nerf_pl_tpu.parallel import Trainer, make_mesh
         from nerf_pl_tpu.training import (get_lr_schedule, get_optimizer,
@@ -293,6 +304,8 @@ class TestLossFused:
         losses = np.asarray(m["loss"])
         assert np.all(np.isfinite(losses))
         assert losses[-5:].mean() < losses[:5].mean()
+
+    @pytest.mark.slow
 
     def test_fused_loss_grads_device_count_invariant(self):
         """The psum'd gradient from the 8-device shard_map path equals the

@@ -126,6 +126,8 @@ class TestEpochSampling:
     """DataLoader(shuffle=True) parity: exact per-epoch coverage plus a fresh
     per-epoch permutation of the on-device store (reference train.py:89-94)."""
 
+    @pytest.mark.slow
+
     def test_epoch_covers_every_ray_once(self):
         mesh = make_mesh()
         tr = make_trainer(mesh, batch=256)

@@ -31,6 +31,7 @@ def scene(tmp_path_factory):
 
 
 class TestMultiChipSystem:
+    @pytest.mark.slow
     def test_fit_on_8_device_mesh(self, scene, tmp_path):
         os.chdir(tmp_path)
         hp = tiny_hp(scene, num_gpus=8, exp_name="mc8")
@@ -54,11 +55,14 @@ class TestMultiChipSystem:
 
 
 class TestConfigVariants:
+    @pytest.mark.slow
     def test_bfloat16_precision(self, scene, tmp_path):
         os.chdir(tmp_path)
         hp = tiny_hp(scene, precision="bfloat16", exp_name="bf16")
         final = NeRFSystem(hp, enable_tb=False).fit()
         assert np.isfinite(final["val/psnr"])
+
+    @pytest.mark.slow
 
     def test_use_disp(self, scene, tmp_path):
         os.chdir(tmp_path)
