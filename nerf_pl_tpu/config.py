@@ -72,6 +72,9 @@ class Hparams:
     occ_range: Optional[Sequence[float]] = None  # None = auto-derive
     occ_threshold: float = 1.0      # sigma above which a cell is occupied
     occ_margin: float = 0.1         # world-space slack around occupied spans
+    occ_segments: int = 32          # per-ray occupied-segment mask bits
+    #   (coarse samples concentrate in occupied segments; 0 = single
+    #   tightened interval only)
 
 
 def validate_hparams(hp: Hparams) -> Hparams:
@@ -116,6 +119,16 @@ def validate_hparams(hp: Hparams) -> Hparams:
                 "--occ_range takes 2 values (symmetric lo hi) or 6 "
                 "(lox loy loz hix hiy hiz); omit it to auto-derive from "
                 "the model + cameras")
+        if not 0 <= hp.occ_segments <= 32:
+            raise ValueError(
+                f"--occ_segments {hp.occ_segments} must be in [0, 32] "
+                "(the per-ray mask packs into a uint32; 0 disables "
+                "segment placement)")
+        if hp.occ_segments > 0 and hp.use_disp:
+            raise ValueError(
+                "--occ_train segment placement assumes z-linear sampling; "
+                "with --use_disp pass --occ_segments 0 (single tightened "
+                "interval) instead")
     return hp
 
 
@@ -222,6 +235,12 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                              'occupancy tightening')
     parser.add_argument('--occ_refresh_epochs', type=int, default=4,
                         help='epochs between grid rebuild + re-tighten')
+    parser.add_argument('--occ_segments', type=int, default=32,
+                        help='per-ray occupied-segment mask resolution '
+                             '(coarse samples then concentrate in occupied '
+                             'segments of the tightened interval, skipping '
+                             'interior gaps); 0 = single-interval '
+                             'tightening only')
     parser.add_argument('--occ_N', type=int, default=128,
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_range', nargs='+', type=float, default=None,

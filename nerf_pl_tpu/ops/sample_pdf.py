@@ -45,7 +45,8 @@ def sample_pdf(bins: jnp.ndarray,
                N_importance: int,
                det: bool,
                key: jax.Array | None = None,
-               eps: float = 1e-5) -> jnp.ndarray:
+               eps: float = 1e-5,
+               u: jnp.ndarray | None = None) -> jnp.ndarray:
     """Draw N_importance samples per ray from the piecewise-constant pdf.
 
     Args:
@@ -55,6 +56,9 @@ def sample_pdf(bins: jnp.ndarray,
       N_importance: samples to draw per ray.
       det: deterministic (evenly spaced u) vs stratified-uniform u.
       key: PRNG key, required when det=False.
+      u: optional explicit (N_rays, N_importance) CDF positions in [0, 1)
+        overriding det/key — e.g. per-stratum ascending draws so the output
+        is sorted (occupied-segment placement, render.py occupied_z_vals).
 
     Returns: (N_rays, N_importance) sample positions. Callers should
     stop_gradient the result (reference detaches at rendering.py:225-227).
@@ -65,7 +69,9 @@ def sample_pdf(bins: jnp.ndarray,
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, B+1)
 
-    if det:
+    if u is not None:
+        u = jnp.broadcast_to(u.astype(cdf.dtype), (N_rays, N_importance))
+    elif det:
         u = jnp.linspace(0.0, 1.0, N_importance, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (N_rays, N_importance))
     else:

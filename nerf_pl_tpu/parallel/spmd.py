@@ -115,6 +115,10 @@ class Trainer:
         # always derives from the ORIGINAL interval, never from a previously
         # shrunk one. Materialized lazily on first tighten.
         self.all_nf0 = None
+        # Per-ray occupied-segment bitmask ((R,) uint32) + its static
+        # segment count; set by tighten_store(n_seg > 0).
+        self.all_occm = None
+        self.occ_n_seg = 0
         self.n_rays_local = all_rays.shape[0] // self.n_data
         # steps covering one pass over a local shard (DataLoader-epoch analog)
         self.steps_per_epoch_local = max(1, self.n_rays_local
@@ -130,7 +134,8 @@ class Trainer:
         sequential DMA. Shards never exchange rays (the initial global host
         shuffle in set_data already mixed images across devices), matching
         torch DistributedSampler's per-rank semantics."""
-        n_arrays = 2 if self.all_nf0 is None else 3
+        extras = [a for a in (self.all_nf0, self.all_occm) if a is not None]
+        n_arrays = 2 + len(extras)
         if self._reshuffle is None or self._reshuffle[0] != n_arrays:
             def local(key, *arrays):
                 key = jax.random.fold_in(key, jax.lax.axis_index("data"))
@@ -144,15 +149,17 @@ class Trainer:
                 check_vma=False)
             self._reshuffle = (n_arrays, jax.jit(
                 smapped, donate_argnums=tuple(range(1, n_arrays + 1))))
-        arrays = [self.all_rays, self.all_rgbs]
-        if self.all_nf0 is not None:
-            arrays.append(self.all_nf0)
-        out = self._reshuffle[1](key, *arrays)
+        out = self._reshuffle[1](key, self.all_rays, self.all_rgbs, *extras)
         self.all_rays, self.all_rgbs = out[0], out[1]
+        i = 2
         if self.all_nf0 is not None:
-            self.all_nf0 = out[2]
+            self.all_nf0 = out[i]
+            i += 1
+        if self.all_occm is not None:
+            self.all_occm = out[i]
 
-    def tighten_store(self, boxes: np.ndarray, margin: float = 0.1):
+    def tighten_store(self, boxes: np.ndarray, margin: float = 0.1,
+                      n_seg: int = 0):
         """Occupancy-tighten the [near, far] of EVERY ray in the store.
 
         The training-side form of empty-space skipping (NerfAcc-style, but
@@ -164,9 +171,17 @@ class Trainer:
         interval (they still supervise the background). Idempotent: always
         derives from the original [near, far] captured on first call.
 
+        n_seg > 0 additionally computes a per-ray occupied-segment bitmask
+        over the tightened interval (ray_box_segment_bits) and stores it in
+        ``all_occm``; the train step then places coarse samples by inverse
+        CDF over occupied segments only (render.py occupied_z_vals),
+        skipping interior empty gaps that the single union interval cannot
+        express (e.g. ground-plane-to-object gaps on wide scenes).
+
         Returns (hit_fraction, mean_shrink) read back for logging.
         """
-        from ..rendering.occupancy import ray_box_hits
+        from ..rendering.occupancy import (ray_box_hits,
+                                           ray_box_segment_bits)
         if self.all_nf0 is None:
             self.all_nf0 = jnp.array(self.all_rays[:, 6:8])  # copy, sharded
         boxes = jnp.asarray(boxes, jnp.float32)
@@ -182,22 +197,30 @@ class Trainer:
                 [rays_l[:, :6], near[:, None], far[:, None]], axis=1)
             n_hit = jnp.sum(hit.astype(jnp.float32))
             shrink = jnp.sum(1.0 - (far - near) / (far0 - near0))
-            return new, jax.lax.psum(n_hit, "data"), \
-                jax.lax.psum(shrink, "data")
+            outs = (new, jax.lax.psum(n_hit, "data"),
+                    jax.lax.psum(shrink, "data"))
+            if n_seg > 0:
+                outs += (ray_box_segment_bits(bxs, new, n_seg),)
+            return outs
 
-        cache_key = (int(boxes.shape[0]), float(margin))
+        cache_key = (int(boxes.shape[0]), float(margin), int(n_seg))
         if getattr(self, "_tighten_cache", None) is None:
             self._tighten_cache = {}
         if cache_key not in self._tighten_cache:
+            extra = (P("data"),) if n_seg > 0 else ()
             smapped = jax.shard_map(
                 local, mesh=self.mesh,
                 in_specs=(P("data"), P("data"), P()),
-                out_specs=(P("data"), P(), P()),
+                out_specs=(P("data"), P(), P()) + extra,
                 check_vma=False)
             self._tighten_cache[cache_key] = jax.jit(smapped,
                                                      donate_argnums=(0,))
-        self.all_rays, n_hit, shrink = self._tighten_cache[cache_key](
+        out = self._tighten_cache[cache_key](
             self.all_rays, self.all_nf0, boxes)
+        self.all_rays, n_hit, shrink = out[0], out[1], out[2]
+        if n_seg > 0:
+            self.all_occm = out[3]
+            self.occ_n_seg = n_seg
         n = self.all_nf0.shape[0]
         return float(n_hit) / n, float(shrink) / n
 
@@ -223,7 +246,8 @@ class Trainer:
         return TrainState(params, opt_state, step)
 
     # --------------------------------------------------------------- train
-    def _sample_batch(self, all_rays, all_rgbs, step: jnp.ndarray):
+    def _sample_batch(self, all_rays, all_rgbs, step: jnp.ndarray,
+                      all_occm=None):
         """Per-device sequential epoch-order read from the local shard.
 
         Step i of an epoch reads block [i*b, (i+1)*b) of the (per-epoch
@@ -237,26 +261,35 @@ class Trainer:
         MB for real scenes), exploding compile time."""
         b_local = self.batch_local
         spe = self.steps_per_epoch_local
+        has_occm = all_occm is not None
 
-        def local(rays_l, rgbs_l, step):
+        def local(rays_l, rgbs_l, step, occm_l=None):
             off = (step % spe) * b_local
             rays = jax.lax.dynamic_slice(rays_l, (off, 0), (b_local, 8))
             rgbs = jax.lax.dynamic_slice(rgbs_l, (off, 0), (b_local, 3))
-            return rays, rgbs
+            if occm_l is None:
+                return rays, rgbs
+            occm = jax.lax.dynamic_slice(occm_l, (off,), (b_local,))
+            return rays, rgbs, occm
 
-        return jax.shard_map(
+        extra = (P("data"),) if has_occm else ()
+        smapped = jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("data"), P("data"), P()),
-            out_specs=(P("data"), P("data")),
-            check_vma=False,
-        )(all_rays, all_rgbs, step)
+            in_specs=(P("data"), P("data"), P()) + extra,
+            out_specs=(P("data"), P("data")) + extra,
+            check_vma=False)
+        if has_occm:
+            return smapped(all_rays, all_rgbs, step, all_occm)
+        return smapped(all_rays, all_rgbs, step)
 
-    def _loss_and_grads(self, params, rays, rgbs, key):
+    def _loss_and_grads(self, params, rays, rgbs, key, occm=None):
         """(loss, render-out, grads) — jax.grad over render_rays, or the
         loss-fused single-kernel path under an explicit shard_map."""
+        n_seg = self.occ_n_seg if occm is not None else 0
         if not self.rcfg_train.fused_loss:
             def loss_of(p):
-                out = render_rays(p, rays, key, self.rcfg_train, self.mcfg)
+                out = render_rays(p, rays, key, self.rcfg_train, self.mcfg,
+                                  occm=occm, n_seg=n_seg)
                 return self.loss_fn(out, rgbs), out
 
             (loss, out), grads = jax.value_and_grad(
@@ -274,10 +307,11 @@ class Trainer:
             "tensor parallelism); run with tensor_parallel=False")
         rcfg, mcfg, gbatch = self.rcfg_train, self.mcfg, self.batch_size
 
-        def local(params, rays_l, rgbs_l, key):
+        def local(params, rays_l, rgbs_l, key, occm_l=None):
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
             loss_sum, out, grads = fused_mse_train_step(
-                params, rays_l, rgbs_l, key, rcfg, gbatch, mcfg)
+                params, rays_l, rgbs_l, key, rcfg, gbatch, mcfg,
+                occm=occm_l, n_seg=n_seg)
             typ = "fine" if "rgb_fine" in out else "coarse"
             sq = jnp.sum((out[f"rgb_{typ}"] - rgbs_l) ** 2)
             loss = jax.lax.psum(loss_sum, "data") / gbatch
@@ -285,18 +319,26 @@ class Trainer:
             grads = jax.lax.psum(grads, "data")
             return loss, mse, grads
 
-        return jax.shard_map(
+        extra = (P("data"),) if occm is not None else ()
+        smapped = jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(), P("data"), P("data"), P()),
+            in_specs=(P(), P("data"), P("data"), P()) + extra,
             out_specs=(P(), P(), P()),
-            check_vma=False,
-        )(params, rays, rgbs, key)
+            check_vma=False)
+        if occm is not None:
+            return smapped(params, rays, rgbs, key, occm)
+        return smapped(params, rays, rgbs, key)
 
-    def _one_step(self, state: TrainState, all_rays, all_rgbs,
+    def _one_step(self, state: TrainState, all_rays, all_rgbs, all_occm,
                   key: jax.Array):
-        rays, rgbs = self._sample_batch(all_rays, all_rgbs, state.step)
+        if all_occm is None:
+            rays, rgbs = self._sample_batch(all_rays, all_rgbs, state.step)
+            occm = None
+        else:
+            rays, rgbs, occm = self._sample_batch(all_rays, all_rgbs,
+                                                  state.step, all_occm)
         loss, mse, grads = self._loss_and_grads(state.params, rays, rgbs,
-                                                key)
+                                                key, occm=occm)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -313,16 +355,20 @@ class Trainer:
         The per-step PRNG key is fold_in(key, global_step), so restarts and
         segment boundaries do not change the random stream."""
         if self._run_steps is None:
+            # all_occm is None until the first tighten_store(n_seg>0);
+            # jit retraces on the None -> array structure change (one
+            # recompile at occupancy activation, not per segment).
             @functools.partial(jax.jit, static_argnames=("n_steps",),
                                donate_argnums=(0,))
-            def _run(state, all_rays, all_rgbs, key, n_steps):
+            def _run(state, all_rays, all_rgbs, all_occm, key, n_steps):
                 def body(st, _):
                     k = jax.random.fold_in(key, st.step)
-                    return self._one_step(st, all_rays, all_rgbs, k)
+                    return self._one_step(st, all_rays, all_rgbs, all_occm,
+                                          k)
                 return jax.lax.scan(body, state, None, length=n_steps)
             self._run_steps = _run
         state, metrics = self._run_steps(state, self.all_rays, self.all_rgbs,
-                                         key, n_steps)
+                                         self.all_occm, key, n_steps)
         return state, metrics
 
     # -------------------------------------------------------------- render

@@ -101,6 +101,18 @@ def _sigma_block_map(params: Dict, mcfg: ModelConfig, N: int, block: int,
     return jnp.any(blocks, axis=(1, 3, 5)).astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=32)
+def _block_map_fn(mcfg: ModelConfig, N: int, block: int,
+                  sigma_threshold: float, chunk: int):
+    """Cached jitted grid builder: --occ_train rebuilds the grid every few
+    epochs with identical static config (only params/lo/hi change), and a
+    fresh jax.jit per call was paying the ~2 min remote compile each
+    refresh."""
+    return jax.jit(functools.partial(
+        _sigma_block_map, mcfg=mcfg, N=N, block=block,
+        sigma_threshold=float(sigma_threshold), chunk=chunk))
+
+
 def _blocks_to_boxes(block_map: np.ndarray, lo: np.ndarray,
                      hi: np.ndarray) -> np.ndarray:
     """(B,B,B) bool -> (K, 6) world AABBs [lo_xyz, hi_xyz].
@@ -198,9 +210,7 @@ def auto_ranges(params: Dict, mcfg: ModelConfig,
     """
     lo, hi = (np.asarray(aabb[0], np.float32), np.asarray(aabb[1],
                                                           np.float32))
-    fn = jax.jit(functools.partial(
-        _sigma_block_map, mcfg=mcfg, N=probe_N, block=1,
-        sigma_threshold=float(sigma_threshold), chunk=128 * 1024))
+    fn = _block_map_fn(mcfg, probe_N, 1, float(sigma_threshold), 128 * 1024)
     occ = np.asarray(fn(params, lo=jnp.asarray(lo),
                         hi=jnp.asarray(hi))).astype(bool)
     if not occ.any():
@@ -282,9 +292,7 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         cap_hi = np.asarray(max_ranges[1], np.float32)
         lo, hi = np.maximum(lo, cap_lo), np.minimum(hi, cap_hi)
 
-    fn = jax.jit(functools.partial(
-        _sigma_block_map, mcfg=mcfg, N=N, block=block,
-        sigma_threshold=float(sigma_threshold), chunk=chunk))
+    fn = _block_map_fn(mcfg, N, block, float(sigma_threshold), chunk)
     for attempt in range(auto_widen + 1):
         block_map = np.asarray(fn(params, lo=jnp.asarray(lo),
                                   hi=jnp.asarray(hi)))
@@ -418,6 +426,60 @@ def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
             jnp.full_like(near, -jnp.inf))
     (hit, tlo, thi), _ = jax.lax.scan(body, init, boxes)
     return hit, tlo, thi
+
+
+def ray_box_segment_bits(boxes: jnp.ndarray, rays: jnp.ndarray,
+                         n_seg: int) -> jnp.ndarray:
+    """Per-ray occupancy bitmask over ``n_seg`` equal z segments.
+
+    Splits each ray's CURRENT [near, far] (normally already tightened to
+    the box-union interval) into ``n_seg`` equal segments and marks segment
+    s occupied iff any box's overlap interval intersects it. Like
+    `ray_box_hits` this is a gather-free `lax.scan` of slab tests — one
+    extra (R, n_seg) broadcast per box.
+
+    The mask drives training-time sample placement (render.py
+    occupied_z_vals): samples are drawn by inverse CDF over the OCCUPIED
+    segments only, so interior empty gaps (e.g. the space between a ground
+    plane hit and a distant object — invisible to single-interval
+    tightening) stop eating sample budget.
+
+    Returns (R,) uint32 — bit s set = segment s occupied. n_seg <= 32.
+    Rays that miss every box get an all-ones mask (uniform fallback).
+    """
+    assert 1 <= n_seg <= 32, f"n_seg={n_seg} must fit a uint32"
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    h = (far - near) / n_seg                               # (R,)
+    seg = jnp.arange(n_seg, dtype=rays.dtype)
+    seg_start = near[:, None] + seg * h[:, None]           # (R, S)
+    seg_end = seg_start + h[:, None]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+
+    def body(bits, box):
+        t1 = (box[0:3] - o) * inv
+        t2 = (box[3:6] - o) * inv
+        tmin = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), near)
+        tmax = jnp.minimum(jnp.min(jnp.maximum(t1, t2), axis=-1), far)
+        valid = tmax >= tmin
+        ov = ((tmin[:, None] < seg_end) & (tmax[:, None] > seg_start)
+              & valid[:, None])
+        return bits | ov, None
+
+    init = jnp.zeros((rays.shape[0], n_seg), bool)
+    bits, _ = jax.lax.scan(body, init, boxes)
+    miss = ~jnp.any(bits, axis=-1)
+    bits = bits | miss[:, None]
+    shifts = jnp.arange(n_seg, dtype=jnp.uint32)
+    return jnp.sum(bits.astype(jnp.uint32) << shifts, axis=-1,
+                   dtype=jnp.uint32)
+
+
+def unpack_segment_bits(mask: jnp.ndarray, n_seg: int) -> jnp.ndarray:
+    """(R,) uint32 -> (R, n_seg) float32 in {0, 1}."""
+    shifts = jnp.arange(n_seg, dtype=jnp.uint32)
+    return ((mask[:, None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
 
 
 class CulledRenderer:

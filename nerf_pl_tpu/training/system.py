@@ -160,11 +160,13 @@ class NeRFSystem:
             print("[occ] grid empty (model not yet dense) — store unchanged")
             return
         hit_frac, shrink = self.trainer.tighten_store(
-            occ.boxes, margin=hp.occ_margin)
+            occ.boxes, margin=hp.occ_margin, n_seg=hp.occ_segments)
         print(f"[occ] {occ.n_boxes} boxes "
               f"({occ.occupied_fraction * 100:.1f}% blocks occupied); "
               f"{hit_frac * 100:.1f}% rays hit, mean interval shrink "
-              f"{shrink * 100:.1f}%", flush=True)
+              f"{shrink * 100:.1f}%"
+              + (f", {hp.occ_segments}-segment masks" if hp.occ_segments
+                 else ""), flush=True)
 
     # ------------------------------------------------------------- validate
     def validate(self, global_step: int, max_items: Optional[int] = None

@@ -433,3 +433,90 @@ class TestBudgetedRenderer:
         mcfg, params, occ, rays, rcfg = self._setup()
         with pytest.raises(ValueError, match="tighten"):
             CulledRenderer(occ, rcfg, mcfg, budgets=True)
+
+
+class TestSegmentBits:
+    """Per-ray occupied-segment masks (ray_box_segment_bits) and the
+    inverse-CDF sample placement driven by them (occupied_z_vals)."""
+
+    def _rays_boxes(self, R=64, S=32, seed=0):
+        rng = np.random.default_rng(seed)
+        rays = np.zeros((R, 8), np.float32)
+        rays[:, 0:3] = rng.normal(0, 2, (R, 3))
+        d = rng.normal(0, 1, (R, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rays[:, 3:6] = d
+        rays[:, 6], rays[:, 7] = 0.5, 6.0
+        boxes = np.array([[-1, -1, -1, 1, 1, 1],
+                          [2, 2, 2, 3, 3, 3]], np.float32)
+        return rays, boxes
+
+    def test_bits_cover_brute_force(self):
+        from nerf_pl_tpu.rendering.occupancy import (ray_box_segment_bits,
+                                                     unpack_segment_bits)
+        S = 32
+        rays, boxes = self._rays_boxes(S=S)
+        mask = np.asarray(ray_box_segment_bits(
+            jnp.asarray(boxes), jnp.asarray(rays), S))
+        bits = np.asarray(unpack_segment_bits(jnp.asarray(mask), S)) > 0.5
+        # densely point-sampled reference: every segment containing an inside
+        # point must be marked (the analytic test may mark MORE — grazing
+        # overlaps — never less)
+        for i in range(len(rays)):
+            r = rays[i]
+            near, far = r[6], r[7]
+            h = (far - near) / S
+            ts = np.linspace(near, far, 4000)
+            pts = r[0:3] + np.outer(ts, r[3:6])
+            ref = np.zeros(S, bool)
+            for b in boxes:
+                inside = np.all((pts >= b[0:3]) & (pts <= b[3:6]), axis=1)
+                seg = np.clip(((ts - near) / h).astype(int), 0, S - 1)
+                np.logical_or.at(ref, seg[inside], True)
+            if not ref.any():
+                ref[:] = True                       # miss -> all-ones
+            assert not (ref & ~bits[i]).any(), f"ray {i} missing segments"
+
+    def test_miss_rays_get_all_ones(self):
+        from nerf_pl_tpu.rendering.occupancy import ray_box_segment_bits
+        rays = np.zeros((8, 8), np.float32)
+        rays[:, 0] = 100.0                          # far from every box
+        rays[:, 5] = 1.0
+        rays[:, 6], rays[:, 7] = 1.0, 2.0
+        boxes = np.array([[-1, -1, -1, 1, 1, 1]], np.float32)
+        mask = np.asarray(ray_box_segment_bits(
+            jnp.asarray(boxes), jnp.asarray(rays), 32))
+        assert np.all(mask == np.uint32(0xFFFFFFFF))
+
+    def test_placement_concentrates_in_occupied(self):
+        from nerf_pl_tpu.rendering.occupancy import (ray_box_segment_bits,
+                                                     unpack_segment_bits)
+        from nerf_pl_tpu.rendering.render import occupied_z_vals
+        S, N = 32, 32
+        rays, boxes = self._rays_boxes(S=S)
+        mask = ray_box_segment_bits(jnp.asarray(boxes), jnp.asarray(rays), S)
+        z = np.asarray(occupied_z_vals(
+            jnp.asarray(rays), mask, S, N, 1.0, jax.random.PRNGKey(1)))
+        assert np.all(np.diff(z, axis=1) >= -1e-5), "z not ascending"
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        assert z.min() >= near.min() - 1e-4 and z.max() <= far.max() + 1e-4
+        bits = np.asarray(unpack_segment_bits(mask, S)) > 0.5
+        seg = np.clip(((z - near) / ((far - near) / S)).astype(int), 0, S - 1)
+        in_occ = np.take_along_axis(bits, seg, axis=1)
+        assert in_occ.mean() > 0.999
+
+    def test_placement_det_and_uniform_fallback(self):
+        from nerf_pl_tpu.rendering.render import occupied_z_vals
+        R, S, N = 16, 32, 64
+        rays = np.zeros((R, 8), np.float32)
+        rays[:, 5] = 1.0
+        rays[:, 6], rays[:, 7] = 2.0, 6.0
+        m1 = jnp.full((R,), 0xFFFFFFFF, jnp.uint32)
+        z_a = np.asarray(occupied_z_vals(jnp.asarray(rays), m1, S, N, 0.0,
+                                         jax.random.PRNGKey(0)))
+        z_b = np.asarray(occupied_z_vals(jnp.asarray(rays), m1, S, N, 0.0,
+                                         jax.random.PRNGKey(9)))
+        np.testing.assert_array_equal(z_a, z_b)     # det ignores the key
+        # all-ones mask ~ uniform stratum-midpoint coverage of [near, far]
+        expect = 2.0 + (np.arange(N) + 0.5) / N * 4.0
+        assert np.abs(z_a - expect).max() < 1e-4

@@ -363,3 +363,81 @@ class TestTightenStore:
         losses = np.asarray(m["loss"])
         assert np.all(np.isfinite(losses))
         assert losses[-8:].mean() < losses[:8].mean()
+
+
+class TestSegmentMaskStore:
+    """tighten_store(n_seg>0): mask storage, reshuffle alignment, and the
+    train step consuming it on both the XLA and loss-fused paths."""
+
+    def _boxed_data(self, n=512):
+        rng = np.random.default_rng(5)
+        o = np.zeros((n, 3), np.float32)
+        o[:, 2] = -5.0
+        d = np.zeros((n, 3), np.float32)
+        d[:, 2] = 1.0
+        miss = rng.random(n) < 0.5
+        o[miss, 0] = 3.0
+        rays = np.concatenate(
+            [o, d, np.full((n, 1), 0.1, np.float32),
+             np.full((n, 1), 10.0, np.float32)], 1)
+        # biased targets: fresh sigmoid heads output ~0.5, so the initial
+        # loss (~0.16) sits far above the noise floor and a few optimizer
+        # steps show unambiguous descent
+        rgbs = (0.8 + 0.2 * rng.random((n, 3))).astype(np.float32)
+        return rays, rgbs, miss
+
+    def test_masks_stored_and_reshuffle_aligned(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs, _ = self._boxed_data()
+        tr.set_data(rays, rgbs)
+        boxes = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+        tr.tighten_store(boxes, margin=0.0, n_seg=32)
+        assert tr.all_occm is not None and tr.occ_n_seg == 32
+        occm = np.asarray(tr.all_occm)
+        out = np.asarray(tr.all_rays)
+        hit_rows = np.abs(out[:, 0]) < 1e-6
+        # hit rays: tightened interval IS the occupied span -> every
+        # segment overlaps the box -> all n_seg bits set; miss rays get
+        # the all-ones fallback -> all bits set too (uniform sampling)
+        assert np.all(occm == np.uint32(0xFFFFFFFF))
+        # multi-box store: two boxes with a gap produce interior zeros
+        boxes2 = np.asarray([[-1, -1, -1, 1, 1, 1],
+                             [-1, -1, 3, 1, 1, 4]], np.float32)
+        tr.tighten_store(boxes2, margin=0.0, n_seg=32)
+        occm2 = np.asarray(tr.all_occm)
+        from nerf_pl_tpu.rendering.occupancy import unpack_segment_bits
+        bits = np.asarray(unpack_segment_bits(jnp.asarray(occm2), 32))
+        frac = bits[np.abs(np.asarray(tr.all_rays)[:, 0]) < 1e-6].mean()
+        assert 0.3 < frac < 0.9        # gap between z=1 and z=3 unmarked
+        # reshuffle permutes mask in lockstep: re-derive and compare
+        tr.reshuffle(jax.random.PRNGKey(3))
+        occm_shuffled = np.asarray(tr.all_occm)
+        tr.tighten_store(boxes2, margin=0.0, n_seg=32)
+        np.testing.assert_array_equal(occm_shuffled,
+                                      np.asarray(tr.all_occm))
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_training_descends_with_masks(self, fused):
+        mesh = make_mesh()
+        rcfg = RenderConfig(N_samples=8, N_importance=0, perturb=1.0,
+                            noise_std=0.0, fused_train=fused,
+                            fused_loss=fused)
+        sched = get_lr_schedule("steplr", 1e-3, 4, 10, decay_step=[100])
+        opt = get_optimizer("adam", sched)
+        # fused kernels are specialized to the default architecture
+        mcfg = ModelConfig() if fused else small_mcfg()
+        tr = Trainer(mesh, mcfg, rcfg, opt, sched,
+                     loss_dict["mse"], 256)
+        rays, rgbs, _ = self._boxed_data(4096)
+        tr.set_data(rays, rgbs)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        # warmup steps WITHOUT mask, then tighten adds the mask mid-run
+        state, m0 = tr.run_steps(state, jax.random.PRNGKey(1), 8)
+        boxes = np.asarray([[-1, -1, -1, 1, 1, 1],
+                            [-1, -1, 3, 1, 1, 4]], np.float32)
+        tr.tighten_store(boxes, margin=0.1, n_seg=32)
+        state, m = tr.run_steps(state, jax.random.PRNGKey(1), 24)
+        losses = np.asarray(m["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-8:].mean() < np.asarray(m0["loss"])[:8].mean()
