@@ -79,6 +79,13 @@ def get_opts(argv=None):
                              'with proportionally fewer samples (per-unit-'
                              'length sample density never drops below the '
                              'dense render)')
+    parser.add_argument('--occ_segments', type=int, default=0,
+                        help='per-ray occupied-segment mask bits (<=32): '
+                             'samples concentrate in occupied segments of '
+                             'the tightened interval, skipping interior '
+                             'empty gaps; with --occ_budgets, buckets key '
+                             'on occupied length instead of span. '
+                             '0 = off')
     parser.add_argument('--frames_per_dispatch', type=int, default=4,
                         help='frames rendered per device dispatch: rays of '
                              'N poses are pooled into one program call, '
@@ -162,8 +169,10 @@ def main(argv=None):
         print(f"[occ] {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
-                            tighten=args.occ_tighten or args.occ_budgets,
-                            budgets=args.occ_budgets, mesh=mesh)
+                            tighten=(args.occ_tighten or args.occ_budgets
+                                     or args.occ_segments > 0),
+                            budgets=args.occ_budgets, mesh=mesh,
+                            segments=args.occ_segments)
 
         def render(params, rays):
             out = cr(params, jnp.asarray(rays))

@@ -482,6 +482,26 @@ def unpack_segment_bits(mask: jnp.ndarray, n_seg: int) -> jnp.ndarray:
     return ((mask[:, None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
 
 
+def dilate_segment_bits(mask: jnp.ndarray, n_seg: int,
+                        k: int = 1) -> jnp.ndarray:
+    """Widen each occupied run by ``k`` segments on both sides.
+
+    Inference-side safety margin: with samples placed only in occupied
+    segments, the quadrature's piecewise-constant assumption extends the
+    last in-segment sigma across the following empty gap; dilating by one
+    segment guarantees a sample lands where sigma decays back to ~0 before
+    the gap, so transmittance through gaps is integrated from a
+    near-zero sigma instead of a boundary value. (Training needs no
+    dilation — supervision self-corrects the field.)
+    """
+    valid = jnp.uint32((1 << n_seg) - 1) if n_seg < 32 else jnp.uint32(
+        0xFFFFFFFF)
+    for _ in range(k):
+        mask = mask | ((mask << jnp.uint32(1)) & valid) \
+            | (mask >> jnp.uint32(1))
+    return mask
+
+
 class CulledRenderer:
     """Full-image renderer with occupancy culling.
 
@@ -510,6 +530,17 @@ class CulledRenderer:
     dense render's, so quality is preserved while skipping the empty-space
     FLOPs the dense render wastes (the NerfAcc capability, restructured
     for static shapes: per-bucket programs instead of ragged rays).
+
+    `segments=N` (requires `tighten`) computes a per-ray N-bit
+    occupied-segment mask over the tightened interval
+    (`ray_box_segment_bits`, dilated by `segment_dilate` for gap-crossing
+    safety) and places samples by inverse CDF over occupied segments only
+    (render.py `occupied_z_vals`) — interior empty gaps (ground plane ->
+    object) stop eating sample budget, which single-interval tightening
+    cannot express. With `budgets`, the bucket key becomes the occupied
+    LENGTH fraction (popcount x segment length / full span), moving
+    sparse-span rays into cheaper buckets at unchanged per-occupied-unit
+    density.
     """
 
     _BUCKET_FRACS = (0.25, 0.5, 1.0)   # sample fraction per span bucket
@@ -517,12 +548,18 @@ class CulledRenderer:
     def __init__(self, occ: OccupancyGrid, rcfg: RenderConfig,
                  mcfg: ModelConfig = ModelConfig(), chunk: int = 20480,
                  tighten: bool = False, tighten_margin: float = 0.05,
-                 mesh=None, budgets: bool = False):
+                 mesh=None, budgets: bool = False, segments: int = 0,
+                 segment_dilate: int = 1):
         if occ.n_boxes == 0:
             raise ValueError("occupancy grid is empty — threshold too high?")
         if budgets and not tighten:
             raise ValueError("budgets=True requires tighten=True (budgets "
                              "are derived from the tightened spans)")
+        if segments and not tighten:
+            raise ValueError("segments>0 requires tighten=True (masks are "
+                             "computed over the tightened interval)")
+        if not 0 <= segments <= 32:
+            raise ValueError(f"segments={segments} must be in [0, 32]")
         self.boxes = jnp.asarray(occ.boxes)
         self.rcfg = rcfg
         self.mcfg = mcfg
@@ -532,6 +569,8 @@ class CulledRenderer:
         self.mesh = mesh
         self.n_data = 1 if mesh is None else mesh.shape["data"]
         self.budgets = budgets
+        self.segments = segments
+        self.segment_dilate = segment_dilate
         self._programs: Dict[Any, Any] = {}
         self._cull = None
 
@@ -540,6 +579,7 @@ class CulledRenderer:
             return self._cull
         tighten, margin = self.tighten, self.margin
         budgets, fracs = self.budgets, self._BUCKET_FRACS
+        n_seg, dilate = self.segments, self.segment_dilate
 
         @jax.jit
         def cull(boxes, rays):
@@ -552,10 +592,22 @@ class CulledRenderer:
                 far_ = jnp.maximum(far_, near + 1e-4)
                 rays = jnp.concatenate(
                     [rays[:, :6], near[:, None], far_[:, None]], axis=1)
+            if n_seg > 0:
+                occm = ray_box_segment_bits(boxes, rays, n_seg)
+                occm = dilate_segment_bits(occm, n_seg, dilate)
+                occ_frac = (jax.lax.population_count(occm).astype(jnp.float32)
+                            / n_seg)
+            else:
+                occm = jnp.zeros(rays.shape[0], jnp.uint32)
             if budgets:
-                # span bucket: smallest b with span/full <= fracs[b];
-                # misses sort last (key = len(fracs))
+                # budget bucket: smallest b with occupied_len/full <=
+                # fracs[b] — per-unit-length density in the sampled region
+                # never drops below the dense render's. Without segment
+                # masks the occupied length is the whole tightened span;
+                # misses sort last (key = len(fracs)).
                 ratio = (far_ - near) / jnp.maximum(far0 - near0, 1e-12)
+                if n_seg > 0:
+                    ratio = ratio * occ_frac
                 key = jnp.zeros(rays.shape[0], jnp.int32)
                 for f in fracs[:-1]:
                     key = key + (ratio > f).astype(jnp.int32)
@@ -568,7 +620,8 @@ class CulledRenderer:
                 counts = jnp.sum(hit.astype(jnp.int32))[None]
             order = jnp.argsort(key, stable=True)
             rays_sorted = jnp.take(rays, order, axis=0)
-            return rays_sorted, order, counts
+            occm_sorted = jnp.take(occm, order, axis=0)
+            return rays_sorted, occm_sorted, order, counts
 
         self._cull = cull
         return cull
@@ -588,23 +641,29 @@ class CulledRenderer:
         rcfg, mcfg = self.rcfg, self.mcfg
         white = rcfg.white_back
         mesh = self.mesh
+        n_seg = self.segments
 
-        def tile_render(params, tiles, key_):
+        def tile_render(params, tiles, occm_t, key_):
             return jax.lax.map(
-                lambda r: render_rays(params, r, key_, rcfg, mcfg), tiles)
+                lambda rm: render_rays(params, rm[0], key_, rcfg, mcfg,
+                                       occm=rm[1] if n_seg else None,
+                                       n_seg=n_seg),
+                (tiles, occm_t))
 
         if mesh is not None and self.n_data > 1:
             from jax.sharding import PartitionSpec as P
             tile_render = jax.shard_map(
                 tile_render, mesh=mesh,
-                in_specs=(P(), P("data"), P()), out_specs=P("data"),
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P("data"),
                 check_vma=False)
 
         @jax.jit
-        def run(params, rays_sorted, order, key_):
+        def run(params, rays_sorted, occm_sorted, order, key_):
             n = n_tiles * chunk
             tiles = rays_sorted[:n].reshape(n_tiles, chunk, 8)
-            out = tile_render(params, tiles, key_)
+            occm_t = occm_sorted[:n].reshape(n_tiles, chunk)
+            out = tile_render(params, tiles, occm_t, key_)
             flat = {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
             n_scatter = min(n, R)
             idx = order[:n_scatter]
@@ -646,23 +705,31 @@ class CulledRenderer:
         mcfg = self.mcfg
         rcfg = self._rcfg_for_frac(frac)
         mesh = self.mesh
+        n_seg = self.segments
 
-        def tile_render(params, tiles, key_):
+        def tile_render(params, tiles, occm_t, key_):
             return jax.lax.map(
-                lambda r: render_rays(params, r, key_, rcfg, mcfg), tiles)
+                lambda rm: render_rays(params, rm[0], key_, rcfg, mcfg,
+                                       occm=rm[1] if n_seg else None,
+                                       n_seg=n_seg),
+                (tiles, occm_t))
 
         if mesh is not None and self.n_data > 1:
             from jax.sharding import PartitionSpec as P
             tile_render = jax.shard_map(
                 tile_render, mesh=mesh,
-                in_specs=(P(), P("data"), P()), out_specs=P("data"),
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P("data"),
                 check_vma=False)
 
         @jax.jit
-        def run(params, rays_sorted, order, start, n_b, img, key_):
+        def run(params, rays_sorted, occm_sorted, order, start, n_b, img,
+                key_):
             n = n_tiles * chunk
             sl = jax.lax.dynamic_slice(rays_sorted, (start, 0), (n, 8))
-            out = tile_render(params, sl.reshape(n_tiles, chunk, 8), key_)
+            occm_sl = jax.lax.dynamic_slice(occm_sorted, (start,), (n,))
+            out = tile_render(params, sl.reshape(n_tiles, chunk, 8),
+                              occm_sl.reshape(n_tiles, chunk), key_)
             flat = {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
             idx_raw = jax.lax.dynamic_slice(order, (start,), (n,))
             rows = jnp.arange(n)
@@ -699,7 +766,8 @@ class CulledRenderer:
             key = jax.random.PRNGKey(0)
         R = rays.shape[0]
         rays = jnp.asarray(rays)
-        rays_sorted, order, counts = self._cull_fn()(self.boxes, rays)
+        rays_sorted, occm_sorted, order, counts = self._cull_fn()(
+            self.boxes, rays)
         counts_h = np.asarray(counts)                   # one readback
         n = int(counts_h.sum())                         # survivors
         chunk = self._chunk_for(R)
@@ -714,8 +782,11 @@ class CulledRenderer:
                 rays_sorted = jnp.concatenate(
                     [rays_sorted,
                      jnp.broadcast_to(rays_sorted[-1:], (total - R, 8))], 0)
+                occm_sorted = jnp.concatenate(
+                    [occm_sorted,
+                     jnp.broadcast_to(occm_sorted[-1:], (total - R,))], 0)
             out = self._program(n_tiles, R, chunk)(params, rays_sorted,
-                                                   order, key)
+                                                   occm_sorted, order, key)
             if return_stats:
                 return out, {"n_rays": R, "n_survivors": n,
                              "n_rendered": total,
@@ -731,6 +802,9 @@ class CulledRenderer:
         rays_sorted = jnp.concatenate(
             [rays_sorted,
              jnp.broadcast_to(rays_sorted[-1:], (pad_rows, 8))], 0)
+        occm_sorted = jnp.concatenate(
+            [occm_sorted,
+             jnp.broadcast_to(occm_sorted[-1:], (pad_rows,))], 0)
         order = jnp.concatenate(
             [order, jnp.full((pad_rows,), R, order.dtype)], 0)
         typ, img = self._background(R)
@@ -743,7 +817,7 @@ class CulledRenderer:
             n_tiles = self._round_tiles(n_b, cap_tiles, chunk)
             rendered += n_tiles * chunk
             img = self._bucket_program(n_tiles, R, frac, chunk)(
-                params, rays_sorted, order,
+                params, rays_sorted, occm_sorted, order,
                 jnp.asarray(int(starts[b]), jnp.int32),
                 jnp.asarray(n_b, jnp.int32), img, key)
         out = {k: v[:R] for k, v in img.items()}

@@ -56,6 +56,10 @@ def main(argv=None):
                         help='with tightening: short-span rays rendered '
                              'with proportionally fewer samples (density '
                              'never below the dense render)')
+    parser.add_argument('--occ_segments', type=int, default=0,
+                        help='per-ray occupied-segment mask bits (<=32): '
+                             'samples concentrate in occupied segments, '
+                             'skipping interior empty gaps; 0 = off')
     parser.add_argument('--out_dir', type=str, default='.')
     args = parser.parse_args(argv)
 
@@ -106,8 +110,10 @@ def main(argv=None):
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
               f"({time.perf_counter() - t0:.1f}s build/load)")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=args.chunk,
-                            tighten=args.occ_tighten or args.occ_budgets,
-                            budgets=args.occ_budgets)
+                            tighten=(args.occ_tighten or args.occ_budgets
+                                     or args.occ_segments > 0),
+                            budgets=args.occ_budgets,
+                            segments=args.occ_segments)
 
         def render(params, rays):
             out, stats = cr(params, jnp.asarray(rays), return_stats=True)

@@ -520,3 +520,73 @@ class TestSegmentBits:
         # all-ones mask ~ uniform stratum-midpoint coverage of [near, far]
         expect = 2.0 + (np.arange(N) + 0.5) / N * 4.0
         assert np.abs(z_a - expect).max() < 1e-4
+
+
+class TestSegmentRenderer:
+    """CulledRenderer(segments=N): occupied-segment z placement at
+    inference + occupied-length budget keying + mask dilation."""
+
+    def _setup(self):
+        return TestBudgetedRenderer._setup(self)
+
+    def test_dilate_bits(self):
+        from nerf_pl_tpu.rendering.occupancy import (dilate_segment_bits,
+                                                     unpack_segment_bits)
+        m = jnp.asarray([0b00100, 0b10001, 0b11111, 0], jnp.uint32)
+        d = np.asarray(unpack_segment_bits(
+            dilate_segment_bits(m, 5), 5)).astype(int)
+        np.testing.assert_array_equal(d[0], [0, 1, 1, 1, 0])
+        np.testing.assert_array_equal(d[1], [1, 1, 0, 1, 1])
+        np.testing.assert_array_equal(d[2], [1, 1, 1, 1, 1])
+        np.testing.assert_array_equal(d[3], [0, 0, 0, 0, 0])
+        # bit n_seg-1 never leaks past the valid width
+        m2 = jnp.asarray([1 << 4], jnp.uint32)
+        d2 = np.asarray(dilate_segment_bits(m2, 5))
+        assert d2[0] == (1 << 4) | (1 << 3)
+
+    def test_segments_quality_and_background(self):
+        mcfg, params, occ, rays, rcfg = self._setup()
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True,
+                            segments=32)
+        out, st = cr(params, jnp.asarray(rays), return_stats=True)
+        cr_full = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True)
+        ref, _ = cr_full(params, jnp.asarray(rays), return_stats=True)
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(rays))[0])
+        # segment placement concentrates samples differently, so compare
+        # loosely on survivors — both are renders of the same smooth
+        # random-init field
+        for k in out:
+            a, b = np.asarray(out[k])[hit], np.asarray(ref[k])[hit]
+            assert np.mean((a - b) ** 2) < 5e-3, (k, np.mean((a - b) ** 2))
+        # (no background assertion here: the non-budget path's tile-rounding
+        # spillover renders some culled rays — documented near-parity quirk)
+
+    def test_segments_tighten_budget_key(self):
+        """A two-box ray (small box + far slab, big interior gap) has a
+        LONG span but SHORT occupied length: segment keying must place it
+        in a cheaper bucket than span keying does."""
+        mcfg, params, occ, rays, rcfg = self._setup()
+        cr_span = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True,
+                                 budgets=True)
+        cr_seg = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True,
+                                budgets=True, segments=32)
+        _, st_span = cr_span(params, jnp.asarray(rays), return_stats=True)
+        out, st_seg = cr_seg(params, jnp.asarray(rays), return_stats=True)
+        assert sum(st_seg["bucket_counts"]) == st_seg["n_survivors"]
+        # segment keying strictly moves rays toward cheaper buckets
+        assert st_seg["bucket_counts"][0] >= st_span["bucket_counts"][0]
+        assert st_seg["n_rendered"] <= st_span["n_rendered"]
+        # both-box rays (x=0): occupied ~0.8+2*dilation of a ~9.9 span ->
+        # cheapest bucket even though their span ratio is ~0.27
+        assert st_seg["bucket_counts"][0] > st_seg["n_survivors"] // 2
+        # budgets path gives culled rays the exact analytic background
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(rays))[0])
+        bg = np.asarray(out["rgb_fine"])[~hit]
+        np.testing.assert_array_equal(bg, np.zeros_like(bg))
+
+    def test_segments_require_tighten(self):
+        mcfg, params, occ, rays, rcfg = self._setup()
+        with pytest.raises(ValueError, match="tighten"):
+            CulledRenderer(occ, rcfg, mcfg, segments=32)
