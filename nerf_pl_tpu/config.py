@@ -75,6 +75,12 @@ class Hparams:
     occ_segments: int = 32          # per-ray occupied-segment mask bits
     #   (coarse samples concentrate in occupied segments; 0 = single
     #   tightened interval only)
+    occ_dilate: int = 1             # widen occupied segment runs by this
+    #   many segments per side so the sample bordering an empty gap lands
+    #   where sigma is free to decay (train-render consistency)
+    occ_pack: bool = False          # survivor-packed batches: rays missing
+    #   every occupancy box stop consuming step compute (their render is
+    #   analytically the background; covered by a constant loss term)
 
 
 def validate_hparams(hp: Hparams) -> Hparams:
@@ -129,6 +135,12 @@ def validate_hparams(hp: Hparams) -> Hparams:
                 "--occ_train segment placement assumes z-linear sampling; "
                 "with --use_disp pass --occ_segments 0 (single tightened "
                 "interval) instead")
+        if hp.occ_dilate < 0:
+            raise ValueError(f"--occ_dilate {hp.occ_dilate} must be >= 0")
+    if hp.occ_pack and not hp.occ_train:
+        raise ValueError(
+            "--occ_pack requires --occ_train (survivor packing is driven "
+            "by the training-side occupancy grid)")
     return hp
 
 
@@ -241,6 +253,19 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                              'segments of the tightened interval, skipping '
                              'interior gaps); 0 = single-interval '
                              'tightening only')
+    parser.add_argument('--occ_dilate', type=int, default=1,
+                        help='widen occupied segment runs by this many '
+                             'segments per side (the sample bordering an '
+                             'empty gap then lands where sigma can decay '
+                             'to zero, keeping the trained field '
+                             'consistent with dense rendering); 0 = off')
+    parser.add_argument('--occ_pack', default=False, action='store_true',
+                        help='survivor-packed training batches: rays that '
+                             'miss every occupancy box (analytic '
+                             'background, zero gradient) stop consuming '
+                             'step compute — throughput scales by '
+                             'total/surviving rays (NerfAcc-style ray '
+                             'culling)')
     parser.add_argument('--occ_N', type=int, default=128,
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_range', nargs='+', type=float, default=None,

@@ -81,6 +81,7 @@ class Trainer:
         self.all_rgbs = None
         self._run_steps = None
         self._reshuffle = None
+        self._reshuffle_packed = None
         self._render_cache: Dict[Any, Callable] = {}
 
     # ---------------------------------------------------------------- data
@@ -119,7 +120,21 @@ class Trainer:
         # segment count; set by tighten_store(n_seg > 0).
         self.all_occm = None
         self.occ_n_seg = 0
+        # Survivor packing (tighten_store(pack=True)): per-ray hit flag,
+        # stable identity label, and per-device survivor counts. When
+        # active, each shard is kept survivors-first and the sampler reads
+        # batches from the survivor region only — rays that miss every
+        # occupancy box (analytic background, zero gradient) stop consuming
+        # step compute. `pack_expand` is the resulting effective-throughput
+        # multiplier (total rays / surviving rays).
+        self.all_hit = None
+        self.all_nsurv = None
+        self.pack_expand = 1.0
         self.n_rays_local = all_rays.shape[0] // self.n_data
+        # Stable per-ray identity labels (canonical reshuffle + packing):
+        # assigned once here, after the deterministic host shuffle, and
+        # carried through every subsequent permutation in lockstep.
+        self.all_idx = self._make_idx()
         # steps covering one pass over a local shard (DataLoader-epoch analog)
         self.steps_per_epoch_local = max(1, self.n_rays_local
                                          // self.batch_local)
@@ -133,8 +148,24 @@ class Trainer:
         epoch instead of one per step, so per-step sampling stays a
         sequential DMA. Shards never exchange rays (the initial global host
         shuffle in set_data already mixed images across devices), matching
-        torch DistributedSampler's per-rank semantics."""
-        extras = [a for a in (self.all_nf0, self.all_occm) if a is not None]
+        torch DistributedSampler's per-rank semantics.
+
+        With survivor packing active (tighten_store(pack=True)) the shuffle
+        is CANONICAL instead of incremental: rows are ordered by
+        (miss-flag, u(key, identity)) where u hashes each ray's stable
+        identity label with the epoch key. The resulting array content is a
+        pure function of (hit, key, identity set) — independent of the
+        store's current order — so a resumed run only needs the LAST epoch
+        key (plus the re-derived grid) to reproduce the live layout,
+        and survivors always stay packed in front."""
+        if self.all_hit is not None:
+            self._reshuffle_canonical(key)
+            return
+        extras_named = [(n, a) for n, a in
+                        (("all_nf0", self.all_nf0),
+                         ("all_occm", self.all_occm),
+                         ("all_idx", self.all_idx)) if a is not None]
+        extras = [a for _, a in extras_named]
         n_arrays = 2 + len(extras)
         if self._reshuffle is None or self._reshuffle[0] != n_arrays:
             def local(key, *arrays):
@@ -151,15 +182,48 @@ class Trainer:
                 smapped, donate_argnums=tuple(range(1, n_arrays + 1))))
         out = self._reshuffle[1](key, self.all_rays, self.all_rgbs, *extras)
         self.all_rays, self.all_rgbs = out[0], out[1]
-        i = 2
-        if self.all_nf0 is not None:
-            self.all_nf0 = out[i]
-            i += 1
-        if self.all_occm is not None:
-            self.all_occm = out[i]
+        for (name, _), arr in zip(extras_named, out[2:]):
+            setattr(self, name, arr)
+
+    def _pack_named(self):
+        """(name, array) pairs that must stay row-aligned under packing."""
+        named = [("all_rays", self.all_rays), ("all_rgbs", self.all_rgbs),
+                 ("all_nf0", self.all_nf0), ("all_occm", self.all_occm),
+                 ("all_hit", self.all_hit), ("all_idx", self.all_idx)]
+        return [(n, a) for n, a in named if a is not None]
+
+    def _reshuffle_canonical(self, key: jax.Array):
+        """Canonical per-epoch order for the packed store (see reshuffle)."""
+        named = self._pack_named()
+        names = tuple(n for n, _ in named)
+        if (self._reshuffle_packed is None
+                or self._reshuffle_packed[0] != names):
+            hit_pos = names.index("all_hit")
+            idx_pos = names.index("all_idx")
+
+            def local(key, *arrays):
+                hit, idx = arrays[hit_pos], arrays[idx_pos]
+                u = jax.vmap(
+                    lambda i: jax.random.uniform(
+                        jax.random.fold_in(key, i)))(idx)
+                order = jnp.argsort((1.0 - hit) * 2.0 + u)
+                out = tuple(jnp.take(a, order, axis=0) for a in arrays)
+                return out + (jnp.sum(hit.astype(jnp.int32))[None],)
+
+            smapped = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(),) + (P("data"),) * len(names),
+                out_specs=(P("data"),) * (len(names) + 1),
+                check_vma=False)
+            self._reshuffle_packed = (names, jax.jit(
+                smapped, donate_argnums=tuple(range(1, len(names) + 1))))
+        out = self._reshuffle_packed[1](key, *(a for _, a in named))
+        for (name, _), arr in zip(named, out[:-1]):
+            setattr(self, name, arr)
+        self.all_nsurv = out[-1]
 
     def tighten_store(self, boxes: np.ndarray, margin: float = 0.1,
-                      n_seg: int = 0):
+                      n_seg: int = 0, dilate: int = 0, pack: bool = False):
         """Occupancy-tighten the [near, far] of EVERY ray in the store.
 
         The training-side form of empty-space skipping (NerfAcc-style, but
@@ -178,13 +242,46 @@ class Trainer:
         skipping interior empty gaps that the single union interval cannot
         express (e.g. ground-plane-to-object gaps on wide scenes).
 
-        Returns (hit_fraction, mean_shrink) read back for logging.
+        ``dilate`` widens each occupied segment run by that many segments
+        per side. The sample bordering an empty gap then lands in a
+        (near-)empty segment whose sigma is free to decay to zero, instead
+        of inside the surface — without it, the last in-surface sample's
+        sigma serves two masters (model the surface AND not occlude the
+        following gap, whose whole length lands in that sample's quadrature
+        delta), which biases the trained field away from what a dense
+        render integrates.
+
+        ``pack=True`` additionally keeps every device's shard partitioned
+        survivors-first and records per-device survivor counts: the batch
+        sampler then reads only from the survivor region, so rays that miss
+        every box — whose render is analytically the background and whose
+        loss gradient is zero under a conservative grid — stop consuming
+        step compute (NerfAcc-style ray culling, amortized to one partition
+        per grid refresh / epoch). Miss rays still participate: their
+        constant loss term is computed here once (returned for logging) and
+        they re-enter the compute set whenever a grid refresh flips them.
+
+        Returns a stats dict: hit_frac, shrink, and with pack also
+        miss_mse (mean (background - gt)^2 over packed-out rays) and
+        expand (total/survivors effective-throughput multiplier).
         """
-        from ..rendering.occupancy import (ray_box_hits,
+        from ..rendering.occupancy import (dilate_segment_bits,
+                                           ray_box_hits,
                                            ray_box_segment_bits)
         if self.all_nf0 is None:
             self.all_nf0 = jnp.array(self.all_rays[:, 6:8])  # copy, sharded
-        boxes = jnp.asarray(boxes, jnp.float32)
+        # Pad the box count up to a 64-bucket with zero-volume boxes at an
+        # unreachable location (t ~ 1e8 >> far, so the slab test never
+        # marks them valid). The jitted tighten program is keyed on the box
+        # COUNT; without bucketing, every grid refresh (152 -> 167 -> 146
+        # boxes...) triggered a fresh ~2 min remote compile — most of the
+        # 876 s occ_tighten overhead observed over a 16-epoch run.
+        boxes = np.asarray(boxes, np.float32)
+        n_pad = -len(boxes) % 64
+        if n_pad:
+            boxes = np.concatenate(
+                [boxes, np.full((n_pad, 6), 1e8, np.float32)], 0)
+        boxes = jnp.asarray(boxes)
 
         def local(rays_l, nf0_l, bxs):
             base = jnp.concatenate([rays_l[:, :6], nf0_l], axis=1)
@@ -200,14 +297,20 @@ class Trainer:
             outs = (new, jax.lax.psum(n_hit, "data"),
                     jax.lax.psum(shrink, "data"))
             if n_seg > 0:
-                outs += (ray_box_segment_bits(bxs, new, n_seg),)
+                occm = ray_box_segment_bits(bxs, new, n_seg)
+                if dilate > 0:
+                    occm = dilate_segment_bits(occm, n_seg, dilate)
+                outs += (occm,)
+            if pack:
+                outs += (hit.astype(jnp.float32),)
             return outs
 
-        cache_key = (int(boxes.shape[0]), float(margin), int(n_seg))
+        cache_key = (int(boxes.shape[0]), float(margin), int(n_seg),
+                     int(dilate), bool(pack))
         if getattr(self, "_tighten_cache", None) is None:
             self._tighten_cache = {}
         if cache_key not in self._tighten_cache:
-            extra = (P("data"),) if n_seg > 0 else ()
+            extra = (P("data"),) * ((n_seg > 0) + bool(pack))
             smapped = jax.shard_map(
                 local, mesh=self.mesh,
                 in_specs=(P("data"), P("data"), P()),
@@ -218,11 +321,71 @@ class Trainer:
         out = self._tighten_cache[cache_key](
             self.all_rays, self.all_nf0, boxes)
         self.all_rays, n_hit, shrink = out[0], out[1], out[2]
+        i = 3
         if n_seg > 0:
-            self.all_occm = out[3]
+            self.all_occm = out[i]
             self.occ_n_seg = n_seg
+            i += 1
         n = self.all_nf0.shape[0]
-        return float(n_hit) / n, float(shrink) / n
+        stats = {"hit_frac": float(n_hit) / n, "shrink": float(shrink) / n}
+        if pack:
+            self.all_hit = out[i]
+            stats.update(self._partition_store())
+        return stats
+
+    def _make_idx(self):
+        """Stable global identity label per stored ray (packing support)."""
+        n_local = self.n_rays_local
+
+        def local():
+            base = jax.lax.axis_index("data").astype(jnp.int32) * n_local
+            return base + jnp.arange(n_local, dtype=jnp.int32)
+
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(),
+            out_specs=P("data"), check_vma=False))()
+
+    def _partition_store(self):
+        """Stable survivors-first partition of every shard + miss stats.
+
+        Stable: preserves the current (shuffled) order within each class,
+        so no extra randomness is introduced mid-epoch."""
+        named = self._pack_named()
+        names = tuple(n for n, _ in named)
+        white = self.rcfg_train.white_back
+        if (getattr(self, "_partition_cache", None) is None
+                or self._partition_cache[0] != names):
+            hit_pos = names.index("all_hit")
+            rgb_pos = names.index("all_rgbs")
+
+            def local(*arrays):
+                hit, rgbs = arrays[hit_pos], arrays[rgb_pos]
+                order = jnp.argsort(1.0 - hit)  # stable (jnp default)
+                out = tuple(jnp.take(a, order, axis=0) for a in arrays)
+                bg = 1.0 if white else 0.0
+                sse = jnp.sum(((rgbs - bg) ** 2) * (1.0 - hit)[:, None])
+                n_miss = jnp.sum(1.0 - hit)
+                return out + (jnp.sum(hit.astype(jnp.int32))[None],
+                              jax.lax.psum(sse, "data"),
+                              jax.lax.psum(n_miss, "data"))
+
+            smapped = jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P("data"),) * len(names),
+                out_specs=(P("data"),) * (len(names) + 1) + (P(), P()),
+                check_vma=False)
+            self._partition_cache = (names, jax.jit(
+                smapped, donate_argnums=tuple(range(len(names)))))
+        out = self._partition_cache[1](*(a for _, a in named))
+        for (name, _), arr in zip(named, out[:-3]):
+            setattr(self, name, arr)
+        self.all_nsurv = out[-3]
+        n_surv = int(np.asarray(self.all_nsurv).sum())
+        n_total = self.n_rays_local * self.n_data
+        self.pack_expand = n_total / max(n_surv, 1)
+        n_miss = float(out[-1])
+        return {"miss_mse": float(out[-2]) / max(n_miss * 3.0, 1e-9),
+                "expand": self.pack_expand}
 
     # --------------------------------------------------------------- state
     def init_state(self, key: jax.Array,
@@ -247,7 +410,7 @@ class Trainer:
 
     # --------------------------------------------------------------- train
     def _sample_batch(self, all_rays, all_rgbs, step: jnp.ndarray,
-                      all_occm=None):
+                      all_occm=None, all_nsurv=None):
         """Per-device sequential epoch-order read from the local shard.
 
         Step i of an epoch reads block [i*b, (i+1)*b) of the (per-epoch
@@ -256,15 +419,30 @@ class Trainer:
         semantics (reference train.py:89-94), and the read is a sequential
         DMA, not a random gather.
 
+        With survivor packing (all_nsurv given) the read wraps over the
+        survivor region [0, K) instead, K = floor(n_surv/b)*b: an "epoch"
+        still advances by steps_per_epoch steps (LR schedule and epoch
+        bookkeeping keep reference semantics) but every batch contains only
+        rays the occupancy grid says intersect geometry — the store cycles
+        through the survivors multiple times per epoch, re-randomized by
+        the canonical per-epoch reshuffle.
+
         NOTE: the ray store MUST flow in as a traced argument — a closure
         capture would embed the whole store as an HLO constant (hundreds of
         MB for real scenes), exploding compile time."""
         b_local = self.batch_local
         spe = self.steps_per_epoch_local
         has_occm = all_occm is not None
+        has_pack = all_nsurv is not None
 
-        def local(rays_l, rgbs_l, step, occm_l=None):
+        def local(rays_l, rgbs_l, step, *rest):
+            rest = list(rest)
+            occm_l = rest.pop(0) if has_occm else None
+            nsurv_l = rest.pop(0) if has_pack else None
             off = (step % spe) * b_local
+            if has_pack:
+                K = jnp.maximum(nsurv_l[0] // b_local, 1) * b_local
+                off = off % K
             rays = jax.lax.dynamic_slice(rays_l, (off, 0), (b_local, 8))
             rgbs = jax.lax.dynamic_slice(rgbs_l, (off, 0), (b_local, 3))
             if occm_l is None:
@@ -272,15 +450,21 @@ class Trainer:
             occm = jax.lax.dynamic_slice(occm_l, (off,), (b_local,))
             return rays, rgbs, occm
 
-        extra = (P("data"),) if has_occm else ()
+        args = [all_rays, all_rgbs, step]
+        extra_in = ()
+        if has_occm:
+            extra_in += (P("data"),)
+            args.append(all_occm)
+        if has_pack:
+            extra_in += (P("data"),)
+            args.append(all_nsurv)
+        out_extra = (P("data"),) if has_occm else ()
         smapped = jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("data"), P("data"), P()) + extra,
-            out_specs=(P("data"), P("data")) + extra,
+            in_specs=(P("data"), P("data"), P()) + extra_in,
+            out_specs=(P("data"), P("data")) + out_extra,
             check_vma=False)
-        if has_occm:
-            return smapped(all_rays, all_rgbs, step, all_occm)
-        return smapped(all_rays, all_rgbs, step)
+        return smapped(*args)
 
     def _loss_and_grads(self, params, rays, rgbs, key, occm=None):
         """(loss, render-out, grads) — jax.grad over render_rays, or the
@@ -330,20 +514,24 @@ class Trainer:
         return smapped(params, rays, rgbs, key)
 
     def _one_step(self, state: TrainState, all_rays, all_rgbs, all_occm,
-                  key: jax.Array):
+                  all_nsurv, key: jax.Array):
         if all_occm is None:
-            rays, rgbs = self._sample_batch(all_rays, all_rgbs, state.step)
+            rays, rgbs = self._sample_batch(all_rays, all_rgbs, state.step,
+                                            all_nsurv=all_nsurv)
             occm = None
         else:
             rays, rgbs, occm = self._sample_batch(all_rays, all_rgbs,
-                                                  state.step, all_occm)
+                                                  state.step, all_occm,
+                                                  all_nsurv=all_nsurv)
         loss, mse, grads = self._loss_and_grads(state.params, rays, rgbs,
                                                 key, occm=occm)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        psnr = -10.0 * jnp.log10(mse)
+        # Clamp: a packed batch can legitimately be all exactly-background
+        # rays (mse == 0.0 -> psnr inf, which tensorboard rejects).
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
         metrics = {"loss": loss, "psnr": psnr,
                    "lr": self.lr_schedule(state.step)}
         return TrainState(params, opt_state, state.step + 1), metrics
@@ -360,15 +548,17 @@ class Trainer:
             # recompile at occupancy activation, not per segment).
             @functools.partial(jax.jit, static_argnames=("n_steps",),
                                donate_argnums=(0,))
-            def _run(state, all_rays, all_rgbs, all_occm, key, n_steps):
+            def _run(state, all_rays, all_rgbs, all_occm, all_nsurv, key,
+                     n_steps):
                 def body(st, _):
                     k = jax.random.fold_in(key, st.step)
                     return self._one_step(st, all_rays, all_rgbs, all_occm,
-                                          k)
+                                          all_nsurv, k)
                 return jax.lax.scan(body, state, None, length=n_steps)
             self._run_steps = _run
         state, metrics = self._run_steps(state, self.all_rays, self.all_rgbs,
-                                         self.all_occm, key, n_steps)
+                                         self.all_occm, self.all_nsurv, key,
+                                         n_steps)
         return state, metrics
 
     # -------------------------------------------------------------- render

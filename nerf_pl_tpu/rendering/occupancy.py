@@ -630,7 +630,7 @@ class CulledRenderer:
         """Effective tile size: never materially larger than the image
         itself needs (a gran-rounded tile count at full self.chunk would
         over-render small images ~gran-fold), multiple of 8."""
-        gran = max(2, self.n_data)
+        gran = max(1, self.n_data)
         per = -(-R // gran)
         return min(self.chunk, -(-per // 8) * 8)
 
@@ -746,7 +746,10 @@ class CulledRenderer:
         return run
 
     def _round_tiles(self, n: int, cap_tiles: int, chunk: int) -> int:
-        gran = max(2, self.n_data)
+        # gran=1 on a single chip: a small budget bucket then costs ONE
+        # tile instead of two (measured 573k -> 491k rendered rows on the
+        # hard400 800x800 frame).
+        gran = max(1, self.n_data)
         n_tiles = max(1, -(-n // chunk))
         return min(-(-n_tiles // gran) * gran, -(-cap_tiles // gran) * gran)
 

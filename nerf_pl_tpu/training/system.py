@@ -159,14 +159,20 @@ class NeRFSystem:
         if occ.n_boxes == 0:
             print("[occ] grid empty (model not yet dense) — store unchanged")
             return
-        hit_frac, shrink = self.trainer.tighten_store(
-            occ.boxes, margin=hp.occ_margin, n_seg=hp.occ_segments)
-        print(f"[occ] {occ.n_boxes} boxes "
-              f"({occ.occupied_fraction * 100:.1f}% blocks occupied); "
-              f"{hit_frac * 100:.1f}% rays hit, mean interval shrink "
-              f"{shrink * 100:.1f}%"
-              + (f", {hp.occ_segments}-segment masks" if hp.occ_segments
-                 else ""), flush=True)
+        st = self.trainer.tighten_store(
+            occ.boxes, margin=hp.occ_margin, n_seg=hp.occ_segments,
+            dilate=hp.occ_dilate, pack=hp.occ_pack)
+        msg = (f"[occ] {occ.n_boxes} boxes "
+               f"({occ.occupied_fraction * 100:.1f}% blocks occupied); "
+               f"{st['hit_frac'] * 100:.1f}% rays hit, mean interval shrink "
+               f"{st['shrink'] * 100:.1f}%")
+        if hp.occ_segments:
+            msg += (f", {hp.occ_segments}-segment masks"
+                    + (f" (dilate {hp.occ_dilate})" if hp.occ_dilate else ""))
+        if hp.occ_pack:
+            msg += (f"; packed: x{st['expand']:.2f} effective batch, "
+                    f"culled-ray residual mse {st['miss_mse']:.2e}")
+        print(msg, flush=True)
 
     # ------------------------------------------------------------- validate
     def validate(self, global_step: int, max_items: Optional[int] = None
@@ -221,11 +227,25 @@ class NeRFSystem:
 
         base_key = jax.random.PRNGKey(hp.seed + 1)
         start_step = int(self.state.step)
+        start_epoch = start_step // self.steps_per_epoch
         # Replay the per-epoch shuffles a resumed run already consumed so the
-        # store order matches the uninterrupted run.
-        for e in range(1, start_step // self.steps_per_epoch + 1):
-            self.trainer.reshuffle(
-                jax.random.fold_in(jax.random.PRNGKey(hp.seed + 2), e))
+        # store order matches the uninterrupted run. With survivor packing
+        # past warmup the reshuffle is CANONICAL (layout is a pure function
+        # of the grid + the last epoch key), so instead of replaying every
+        # epoch, re-derive the grid from the restored params and apply only
+        # the last key — exact when the resume epoch coincides with a grid
+        # refresh, within one refresh of the live layout otherwise.
+        packed_resume = (hp.occ_train and hp.occ_pack
+                         and start_epoch >= hp.occ_warmup_epochs
+                         and start_epoch >= 1)
+        if packed_resume:
+            self._occ_tighten()
+            self.trainer.reshuffle(jax.random.fold_in(
+                jax.random.PRNGKey(hp.seed + 2), start_epoch))
+        else:
+            for e in range(1, start_epoch + 1):
+                self.trainer.reshuffle(
+                    jax.random.fold_in(jax.random.PRNGKey(hp.seed + 2), e))
         total_steps = hp.num_epochs * self.steps_per_epoch
         print(f"[fit] {hp.num_epochs} epochs x {self.steps_per_epoch} "
               f"steps/epoch = {total_steps} steps "
@@ -242,8 +262,9 @@ class NeRFSystem:
         # (the training-side analog of the eval-time culling; VERDICT r2 #1).
         # On resume past the warmup epoch, re-derive immediately from the
         # restored params so the store is tightened before any step runs.
-        if hp.occ_train and start_step // self.steps_per_epoch >= \
-                hp.occ_warmup_epochs and start_step < total_steps:
+        if hp.occ_train and not packed_resume and \
+                start_epoch >= hp.occ_warmup_epochs and \
+                start_step < total_steps:
             self._occ_tighten()
 
         metrics = {}
@@ -279,9 +300,16 @@ class NeRFSystem:
                     self.writer.add_scalar("train/loss", m["loss"][local_i], gs)
                     self.writer.add_scalar("train/psnr", m["psnr"][local_i], gs)
             rate = rays_done / max(time.time() - t_start, 1e-9)
+            eff = ""
+            if self.trainer.pack_expand > 1.0:
+                # Survivor packing: each batch row is a grid-surviving ray;
+                # the culled remainder is covered analytically, so one
+                # "reference epoch" of coverage costs 1/expand the steps.
+                eff = (f", x{self.trainer.pack_expand:.2f} packed = "
+                       f"{rate * self.trainer.pack_expand:,.0f} effective")
             print(f"[train] step {step}/{total_steps} "
                   f"loss={m['loss'][-1]:.4f} psnr={m['psnr'][-1]:.2f} "
-                  f"({rate:,.0f} rays/s)", flush=True)
+                  f"({rate:,.0f} rays/s{eff})", flush=True)
 
             epoch = step // self.steps_per_epoch
             if epoch > epoch_before and step < total_steps:

@@ -117,8 +117,13 @@ def main(argv=None):
 
         def render(params, rays):
             out, stats = cr(params, jnp.asarray(rays), return_stats=True)
-            print(f"  culled {stats['n_rays'] - stats['n_survivors']}"
-                  f"/{stats['n_rays']} rays")
+            msg = (f"  culled {stats['n_rays'] - stats['n_survivors']}"
+                   f"/{stats['n_rays']} rays")
+            if "bucket_counts" in stats:
+                msg += (f"; buckets {stats['bucket_counts']}"
+                        f" (fracs {list(cr._BUCKET_FRACS)}),"
+                        f" rendered {stats['n_rendered']}")
+            print(msg)
             return {k: np.asarray(v) for k, v in out.items()}
     else:
         mesh = make_mesh(num_data=1)

@@ -590,3 +590,31 @@ class TestSegmentRenderer:
         mcfg, params, occ, rays, rcfg = self._setup()
         with pytest.raises(ValueError, match="tighten"):
             CulledRenderer(occ, rcfg, mcfg, segments=32)
+
+
+class TestPadBoxes:
+    """Zero-volume pad boxes at 1e8 (spmd.tighten_store box-count
+    bucketing) must be invisible to hits and segment masks."""
+
+    def test_pad_invisible(self):
+        from nerf_pl_tpu.rendering.occupancy import (ray_box_hits,
+                                                     ray_box_segment_bits)
+        rng = np.random.default_rng(0)
+        o = rng.normal(size=(128, 3)).astype(np.float32)
+        d = rng.normal(size=(128, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = np.concatenate(
+            [o, d, np.full((128, 1), 0.1, np.float32),
+             np.full((128, 1), 10.0, np.float32)], 1)
+        box = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+        pad = np.full((63, 6), 1e8, np.float32)
+        both = np.concatenate([box, pad], 0)
+        h1, a1, b1 = ray_box_hits(jnp.asarray(box), jnp.asarray(rays))
+        h2, a2, b2 = ray_box_hits(jnp.asarray(both), jnp.asarray(rays))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        hit = np.asarray(h1)
+        np.testing.assert_allclose(np.asarray(a1)[hit], np.asarray(a2)[hit])
+        np.testing.assert_allclose(np.asarray(b1)[hit], np.asarray(b2)[hit])
+        m1 = ray_box_segment_bits(jnp.asarray(box), jnp.asarray(rays), 32)
+        m2 = ray_box_segment_bits(jnp.asarray(both), jnp.asarray(rays), 32)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

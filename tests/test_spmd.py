@@ -303,7 +303,8 @@ class TestTightenStore:
         rays, rgbs, _ = self._boxed_data()
         tr.set_data(rays, rgbs, shuffle_seed=0)
         boxes = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
-        hit_frac, shrink = tr.tighten_store(boxes, margin=0.05)
+        st = tr.tighten_store(boxes, margin=0.05)
+        hit_frac, shrink = st["hit_frac"], st["shrink"]
         assert 0.3 < hit_frac < 0.7
         assert shrink > 0.2
         out = np.asarray(tr.all_rays)
@@ -441,3 +442,114 @@ class TestSegmentMaskStore:
         losses = np.asarray(m["loss"])
         assert np.all(np.isfinite(losses))
         assert losses[-8:].mean() < np.asarray(m0["loss"])[:8].mean()
+
+
+class TestSurvivorPacking:
+    """tighten_store(pack=True): survivors-first shards, canonical
+    reshuffle, survivor-only batches, miss accounting."""
+
+    def _data(self, n=4096, miss_frac=0.5, seed=7):
+        rng = np.random.default_rng(seed)
+        o = np.zeros((n, 3), np.float32)
+        o[:, 2] = -5.0
+        d = np.zeros((n, 3), np.float32)
+        d[:, 2] = 1.0
+        miss = rng.random(n) < miss_frac
+        o[miss, 0] = 3.0                    # shifted rays miss the box
+        rays = np.concatenate(
+            [o, d, np.full((n, 1), 0.1, np.float32),
+             np.full((n, 1), 10.0, np.float32)], 1)
+        rgbs = rng.random((n, 3)).astype(np.float32)
+        return rays, rgbs, miss
+
+    BOX = np.asarray([[-1, -1, -1, 1, 1, 1]], np.float32)
+
+    def test_partition_and_stats(self):
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs, miss = self._data()
+        tr.set_data(rays, rgbs)
+        st = tr.tighten_store(self.BOX, margin=0.0, n_seg=32, pack=True)
+        # every shard is survivors-first
+        hit = np.asarray(tr.all_hit).reshape(8, -1)
+        nsurv = np.asarray(tr.all_nsurv)
+        for r, k in zip(hit, nsurv):
+            assert r[:k].all() and not r[k:].any()
+        # rows stay aligned: ray x==0 iff hit
+        out = np.asarray(tr.all_rays)
+        np.testing.assert_array_equal(np.abs(out[:, 0]) < 1e-6,
+                                      np.asarray(tr.all_hit) > 0.5)
+        # identity labels are a permutation
+        idx = np.asarray(tr.all_idx)
+        assert sorted(idx.tolist()) == list(range(len(idx)))
+        # miss accounting: white_back=False -> bg=0, miss_mse = E[rgb^2]
+        assert abs(st["expand"] - len(rays) / nsurv.sum()) < 1e-6
+        exp_mse = float(np.mean(rgbs[np.abs(rays[:, 0]) > 1] ** 2))
+        # partition happened after a global shuffle; compare against the
+        # stored misses instead of the construction-order mask
+        stored_miss_rgbs = np.asarray(tr.all_rgbs)[
+            np.asarray(tr.all_hit) < 0.5]
+        assert abs(st["miss_mse"] - float(np.mean(stored_miss_rgbs ** 2))) \
+            < 1e-5
+        assert abs(st["miss_mse"] - exp_mse) < 0.02
+
+    def test_canonical_reshuffle_order_independent(self):
+        """Store content after reshuffle(key) is a pure function of
+        (hit, key, identity) — independent of prior store order."""
+        mesh = make_mesh()
+        rays, rgbs, _ = self._data()
+        tra = make_trainer(mesh, batch=256)
+        trb = make_trainer(mesh, batch=256)
+        tra.set_data(rays, rgbs)
+        trb.set_data(rays, rgbs)
+        trb.reshuffle(jax.random.PRNGKey(99))   # divergent pre-history
+        for tr in (tra, trb):
+            tr.tighten_store(self.BOX, margin=0.0, n_seg=32, pack=True)
+            tr.reshuffle(jax.random.PRNGKey(11))
+        np.testing.assert_array_equal(np.asarray(tra.all_idx),
+                                      np.asarray(trb.all_idx))
+        np.testing.assert_allclose(np.asarray(tra.all_rays),
+                                   np.asarray(trb.all_rays))
+        np.testing.assert_array_equal(np.asarray(tra.all_occm),
+                                      np.asarray(trb.all_occm))
+
+    def test_batches_are_survivors_only(self):
+        """With enough survivors per shard, every sampled batch row hits."""
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, rgbs, _ = self._data(miss_frac=0.3)
+        tr.set_data(rays, rgbs)
+        tr.tighten_store(self.BOX, margin=0.0, n_seg=32, pack=True)
+        for step in range(6):
+            out = tr._sample_batch(tr.all_rays, tr.all_rgbs,
+                                   jnp.asarray(step, jnp.int32),
+                                   tr.all_occm, tr.all_nsurv)
+            batch_rays = np.asarray(out[0])
+            assert np.all(np.abs(batch_rays[:, 0]) < 1e-6), step
+
+    def test_training_descends_packed(self):
+        mesh = make_mesh()
+        rcfg = RenderConfig(N_samples=8, N_importance=0, perturb=1.0,
+                            noise_std=0.0, fused_train=True,
+                            fused_loss=True)
+        sched = get_lr_schedule("steplr", 1e-3, 4, 10, decay_step=[100])
+        opt = get_optimizer("adam", sched)
+        tr = Trainer(mesh, ModelConfig(), rcfg, opt, sched,
+                     loss_dict["mse"], 256)
+        rays, rgbs, _ = self._data()
+        rgbs = (0.8 + 0.2 * rgbs).astype(np.float32)
+        tr.set_data(rays, rgbs)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m0 = tr.run_steps(state, jax.random.PRNGKey(1), 8)
+        tr.tighten_store(self.BOX, margin=0.1, n_seg=32, dilate=1,
+                         pack=True)
+        state, m = tr.run_steps(state, jax.random.PRNGKey(1), 24)
+        losses = np.asarray(m["loss"])
+        assert np.all(np.isfinite(losses))
+        assert losses[-8:].mean() < np.asarray(m0["loss"])[:8].mean()
+        assert tr.pack_expand > 1.2
+
+    def test_pack_requires_occ_train_flag(self):
+        from nerf_pl_tpu.config import Hparams, validate_hparams
+        with pytest.raises(ValueError, match="occ_pack"):
+            validate_hparams(Hparams(occ_pack=True, occ_train=False))
