@@ -66,6 +66,14 @@ def get_opts(argv=None):
                              'cached next to the checkpoint)')
     parser.add_argument('--occ_threshold', type=float, default=1.0,
                         help='sigma above which a grid cell is occupied')
+    parser.add_argument('--occ_mode', type=str, default='sigma',
+                        choices=['sigma', 'weight'],
+                        help='cell criterion: sigma = raw density '
+                             'threshold; weight = visibility-pruned (a '
+                             'cell is kept only if some eval ray deposits '
+                             'quadrature weight on it — junk density in '
+                             'occluded regions stops inflating the '
+                             'occupied set)')
     parser.add_argument('--occ_range', nargs='+', type=float, default=None,
                         help='grid world extent: 2 values (symmetric lo hi)'
                              ' or 6 (lox loy loz hix hiy hiz); omit to '
@@ -161,11 +169,20 @@ def main(argv=None):
         aabb_rays = np.concatenate(
             [dataset[i]['rays'] for i in
              range(0, len(dataset), max(1, len(dataset) // 8))], 0)
+        vis_rays = None
+        if args.occ_mode == "weight":
+            # visibility set = the poses about to be rendered (a cell is
+            # culled only if NO eval ray can visibly reach it): up to 32
+            # poses, strided down inside the builder
+            vis_rays = np.concatenate(
+                [dataset[i]['rays'] for i in
+                 range(0, len(dataset), max(1, len(dataset) // 32))], 0)
         occ = load_or_build_grid(
             args.ckpt_path,
             params["nerf_fine" if args.N_importance > 0 else "nerf_coarse"],
             mcfg, N=args.occ_N, occ_range=args.occ_range,
-            sigma_threshold=args.occ_threshold, aabb=rays_aabb(aabb_rays))
+            sigma_threshold=args.occ_threshold, aabb=rays_aabb(aabb_rays),
+            mode=args.occ_mode, vis_rays=vis_rays)
         print(f"[occ] {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=min(args.chunk, 20480),

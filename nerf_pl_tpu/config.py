@@ -81,6 +81,10 @@ class Hparams:
     occ_pack: bool = False          # survivor-packed batches: rays missing
     #   every occupancy box stop consuming step compute (their render is
     #   analytically the background; covered by a constant loss term)
+    occ_mode: str = "sigma"         # grid cell criterion: "sigma" (raw
+    #   density threshold) or "weight" (visibility-pruned: cells must also
+    #   receive quadrature weight from some training ray — occluded junk
+    #   density stops inflating the occupied set)
 
 
 def validate_hparams(hp: Hparams) -> Hparams:
@@ -137,6 +141,9 @@ def validate_hparams(hp: Hparams) -> Hparams:
                 "interval) instead")
         if hp.occ_dilate < 0:
             raise ValueError(f"--occ_dilate {hp.occ_dilate} must be >= 0")
+        if hp.occ_mode not in ("sigma", "weight"):
+            raise ValueError(
+                f"--occ_mode {hp.occ_mode!r} must be 'sigma' or 'weight'")
     if hp.occ_pack and not hp.occ_train:
         raise ValueError(
             "--occ_pack requires --occ_train (survivor packing is driven "
@@ -266,6 +273,16 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                              'step compute — throughput scales by '
                              'total/surviving rays (NerfAcc-style ray '
                              'culling)')
+    parser.add_argument('--occ_mode', type=str, default='sigma',
+                        choices=['sigma', 'weight'],
+                        help='grid cell criterion: sigma = raw density '
+                             'threshold; weight = visibility-pruned '
+                             '(a cell must also receive quadrature weight '
+                             'alpha*transmittance from some training ray, '
+                             'so junk density behind opaque surfaces — '
+                             'which gets ~zero gradient during training — '
+                             'stops inflating the occupied set and '
+                             'defeating interval tightening)')
     parser.add_argument('--occ_N', type=int, default=128,
                         help='occupancy grid resolution per axis')
     parser.add_argument('--occ_range', nargs='+', type=float, default=None,

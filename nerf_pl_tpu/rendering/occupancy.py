@@ -113,6 +113,119 @@ def _block_map_fn(mcfg: ModelConfig, N: int, block: int,
         sigma_threshold=float(sigma_threshold), chunk=chunk))
 
 
+def _sigma_grid(params: Dict, mcfg: ModelConfig, N: int,
+                lo: jnp.ndarray, hi: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Device-side raw sigma field at cell centers: (N^3,) float32."""
+    cell = (hi - lo) / N
+
+    def centers(flat_idx):
+        iz = flat_idx % N
+        iy = (flat_idx // N) % N
+        ix = flat_idx // (N * N)
+        ijk = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+        return lo + (ijk + 0.5) * cell
+
+    n_pts = N * N * N
+    n_chunks = -(-n_pts // chunk)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 0) * chunk \
+        + jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+
+    def one_chunk(flat_idx):
+        xyz = centers(flat_idx)
+        emb = embed(xyz, cfg=mcfg.emb_xyz)
+        sigma = nerf_apply(params, emb, None, cfg=mcfg.nerf, sigma_only=True)
+        return sigma[..., 0]
+
+    return jax.lax.map(one_chunk, idx).reshape(-1)[:n_pts]
+
+
+@functools.lru_cache(maxsize=32)
+def _sigma_grid_fn(mcfg: ModelConfig, N: int, chunk: int):
+    return jax.jit(functools.partial(_sigma_grid, mcfg=mcfg, N=N,
+                                     chunk=chunk))
+
+
+def weight_block_map_from_sigma(sigma_flat: jnp.ndarray, N: int, block: int,
+                                lo: jnp.ndarray, hi: jnp.ndarray,
+                                rays: jnp.ndarray, sigma_threshold,
+                                n_steps: int = 256,
+                                ray_chunk: int = 8192) -> jnp.ndarray:
+    """Visibility-pruned (B,B,B) block map from a raw sigma grid.
+
+    NerfAcc / Instant-NGP grids mark cells by the quadrature WEIGHT
+    (alpha x transmittance) that training rays actually deposit, not by
+    raw sigma: sigma behind opaque surfaces receives ~zero gradient during
+    training and drifts to junk values, so a sigma-threshold grid marks
+    whole occluded regions "occupied" (observed on the hard scene: 52.6%
+    of blocks occupied, most of it junk below the ground disk), defeating
+    interval tightening. This marches the given rays through the sigma
+    grid (nearest-cell, step <= ~span/n_steps) and keeps a cell iff SOME
+    ray deposits w_i = alpha_i * T_i >= 1 - exp(-sigma_threshold * delta_i)
+    — for unoccluded cells (T ~ 1) this reduces exactly to the plain
+    sigma >= sigma_threshold test, and occluded junk (T ~ 0) prunes away.
+
+    Contract: culling with this map is exact w.r.t. the MARCHED ray set up
+    to march resolution — a culled cell provably contributes (almost) no
+    weight to any of those rays. Callers pass the rays they are about to
+    render (eval) or the training ray store (training-side tightening).
+    Thin-structure insurance: the march step should not exceed the cell
+    size (n_steps >= span/cell), and the 1-cell dilation below absorbs
+    nearest-cell quantization.
+    """
+    R = rays.shape[0]
+    n_pad = -R % ray_chunk
+    if n_pad:
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((n_pad, rays.shape[1]), rays.dtype)], 0)
+    cell = (hi - lo) / N
+    sigma_flat = jax.nn.relu(sigma_flat)
+    s = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
+
+    def chunk_body(rmap, rays_c):
+        o, d = rays_c[:, 0:3], rays_c[:, 3:6]
+        near, far = rays_c[:, 6], rays_c[:, 7]
+        t = near[:, None] + (far - near)[:, None] * s[None, :]   # (C, S)
+        # world-space step length: delta_z * |d| (render.py quadrature
+        # scales deltas by the pre-normalization direction norm)
+        dn = jnp.linalg.norm(d, axis=-1)
+        delta = ((far - near) / n_steps * dn)[:, None]
+        xyz = o[:, None, :] + d[:, None, :] * t[..., None]       # (C, S, 3)
+        ijk = jnp.floor((xyz - lo) / cell).astype(jnp.int32)
+        inb = jnp.all((ijk >= 0) & (ijk < N), axis=-1)
+        ijk = jnp.clip(ijk, 0, N - 1)
+        idxf = (ijk[..., 0] * N + ijk[..., 1]) * N + ijk[..., 2]
+        sig = jnp.take(sigma_flat, idxf.reshape(-1),
+                       axis=0).reshape(idxf.shape)
+        sig = jnp.where(inb, sig, 0.0)
+        alpha = 1.0 - jnp.exp(-sig * delta)
+        trans = jnp.cumprod(
+            jnp.concatenate([jnp.ones_like(alpha[:, :1]),
+                             1.0 - alpha + 1e-10], axis=1), axis=1)[:, :-1]
+        w = alpha * trans
+        a_t = 1.0 - jnp.exp(-sigma_threshold * delta)
+        ratio = w / jnp.maximum(a_t, 1e-12)
+        rmap = rmap.at[idxf.reshape(-1)].max(ratio.reshape(-1))
+        return rmap, None
+
+    rmap = jnp.zeros(N * N * N, jnp.float32)
+    rmap, _ = jax.lax.scan(chunk_body, rmap,
+                           rays.reshape(-1, ray_chunk, rays.shape[1]))
+    occ = (rmap >= 1.0).reshape(N, N, N)
+    dil = occ
+    for axis in range(3):
+        dil = dil | jnp.roll(dil, 1, axis) | jnp.roll(dil, -1, axis)
+    B = N // block
+    blocks = dil.reshape(B, block, B, block, B, block)
+    return jnp.any(blocks, axis=(1, 3, 5)).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=32)
+def _weight_block_map_fn(N: int, block: int, n_steps: int, ray_chunk: int):
+    return jax.jit(functools.partial(
+        weight_block_map_from_sigma, N=N, block=block, n_steps=n_steps,
+        ray_chunk=ray_chunk))
+
+
 def _blocks_to_boxes(block_map: np.ndarray, lo: np.ndarray,
                      hi: np.ndarray) -> np.ndarray:
     """(B,B,B) bool -> (K, 6) world AABBs [lo_xyz, hi_xyz].
@@ -258,7 +371,11 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
                          chunk: int = 128 * 1024,
                          max_boxes: int = 512,
                          auto_widen: int = 2,
-                         max_ranges=None) -> OccupancyGrid:
+                         max_ranges=None,
+                         mode: str = "sigma",
+                         vis_rays: Optional[np.ndarray] = None,
+                         vis_steps: int = 256,
+                         max_vis_rays: int = 200_000) -> OccupancyGrid:
     """Build the culling structure from a trained (fine) model's sigma field.
 
     Args:
@@ -278,7 +395,20 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
       max_ranges: optional (lo3, hi3) cap for auto-widen — normally the
         viewing-volume AABB (rays_aabb): no ray samples beyond it, so
         boundary contact at the cap is harmless and emits no warning.
+      mode: "sigma" thresholds raw density; "weight" additionally prunes
+        cells no ray in `vis_rays` can visibly reach (quadrature weight
+        below the threshold-equivalent — see weight_block_map_from_sigma).
+        Occluded-junk density regions stop inflating the occupied set.
+      vis_rays: (R, 8) ray set for mode="weight" — the rays about to be
+        rendered (eval) or the training store (train-side tightening);
+        subsampled to at most max_vis_rays rows.
+      vis_steps: march resolution for mode="weight"; keep >= span/cell.
     """
+    if mode not in ("sigma", "weight"):
+        raise ValueError(f"mode={mode!r} must be 'sigma' or 'weight'")
+    if mode == "weight" and vis_rays is None:
+        raise ValueError("mode='weight' needs vis_rays (the ray set whose "
+                         "visibility defines the occupied cells)")
     if np.ndim(ranges[0]) == 0:
         lo = np.full(3, ranges[0], np.float32)
         hi = np.full(3, ranges[1], np.float32)
@@ -292,7 +422,18 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
         cap_hi = np.asarray(max_ranges[1], np.float32)
         lo, hi = np.maximum(lo, cap_lo), np.minimum(hi, cap_hi)
 
-    fn = _block_map_fn(mcfg, N, block, float(sigma_threshold), chunk)
+    if mode == "weight":
+        vis_rays = np.asarray(vis_rays, np.float32)
+        stride = max(1, len(vis_rays) // max_vis_rays)
+        vis_rays = jnp.asarray(vis_rays[::stride])
+
+        def fn(params, lo, hi):
+            sig = _sigma_grid_fn(mcfg, N, chunk)(params, lo=lo, hi=hi)
+            return _weight_block_map_fn(N, block, vis_steps, 8192)(
+                sig, lo=lo, hi=hi, rays=vis_rays,
+                sigma_threshold=jnp.float32(sigma_threshold))
+    else:
+        fn = _block_map_fn(mcfg, N, block, float(sigma_threshold), chunk)
     for attempt in range(auto_widen + 1):
         block_map = np.asarray(fn(params, lo=jnp.asarray(lo),
                                   hi=jnp.asarray(hi)))
@@ -335,13 +476,20 @@ def grid_cache_path(ckpt_path: str) -> str:
     return ckpt_path + ".occ.npz"
 
 
-def _grid_cache_key(ckpt_path: str, N: int, occ_range, threshold: float
-                    ) -> str:
+def _grid_cache_key(ckpt_path: str, N: int, occ_range, threshold: float,
+                    mode: str = "sigma", vis_rays=None) -> str:
     import os
     st = os.stat(ckpt_path)
     rng_s = "auto" if (occ_range is None or occ_range == "auto") \
         else ",".join(f"{float(v):.6g}" for v in occ_range)
-    return f"{st.st_mtime_ns}:{st.st_size}:{N}:{rng_s}:{threshold:.6g}"
+    key = f"{st.st_mtime_ns}:{st.st_size}:{N}:{rng_s}:{threshold:.6g}"
+    if mode != "sigma":
+        # fingerprint the visibility ray set (shape + a few moments) so a
+        # different pose set rebuilds instead of reusing a stale grid
+        v = np.asarray(vis_rays, np.float32)
+        key += (f":{mode}:{v.shape[0]}:{float(v[:, :6].mean()):.5g}"
+                f":{float(v[:, :6].std()):.5g}")
+    return key
 
 
 def load_or_build_grid(ckpt_path: str, params: Dict,
@@ -350,16 +498,21 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
                        occ_range=None,
                        sigma_threshold: float = 1.0,
                        aabb: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                       verbose: bool = True) -> OccupancyGrid:
+                       verbose: bool = True,
+                       mode: str = "sigma",
+                       vis_rays: Optional[np.ndarray] = None
+                       ) -> OccupancyGrid:
     """Grid build with a cache file next to the checkpoint.
 
-    The cache is keyed on (ckpt mtime+size, N, range spec, threshold) so a
-    retrained checkpoint or changed grid settings rebuild automatically;
-    a second eval/render invocation skips the ~minutes-long remote compile.
+    The cache is keyed on (ckpt mtime+size, N, range spec, threshold, mode
+    + visibility-ray fingerprint) so a retrained checkpoint or changed grid
+    settings rebuild automatically; a second eval/render invocation skips
+    the ~minutes-long remote compile.
     """
     import os
     path = grid_cache_path(ckpt_path)
-    key = _grid_cache_key(ckpt_path, N, occ_range, sigma_threshold)
+    key = _grid_cache_key(ckpt_path, N, occ_range, sigma_threshold,
+                          mode=mode, vis_rays=vis_rays)
     if os.path.exists(path):
         try:
             z = np.load(path, allow_pickle=False)
@@ -381,7 +534,8 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
     occ = build_occupancy_grid(params, mcfg, N=N, block=pick_block(N),
                                ranges=ranges,
                                sigma_threshold=sigma_threshold,
-                               max_ranges=aabb if auto else None)
+                               max_ranges=aabb if auto else None,
+                               mode=mode, vis_rays=vis_rays)
     np.savez(path, key=key, boxes=occ.boxes, block_map=occ.block_map,
              lo=occ.lo, hi=occ.hi)
     if verbose:

@@ -155,7 +155,13 @@ class NeRFSystem:
         occ = build_occupancy_grid(
             params, self.mcfg, N=hp.occ_N, block=pick_block(hp.occ_N),
             ranges=ranges, sigma_threshold=hp.occ_threshold,
-            max_ranges=aabb if auto else None)
+            max_ranges=aabb if auto else None,
+            mode=hp.occ_mode,
+            # visibility rays = the ORIGINAL training rays (the trainer
+            # store's [near, far] is already tightened in place across
+            # refreshes; marching must cover the full untightened span)
+            vis_rays=(self.train_dataset.all_rays
+                      if hp.occ_mode == "weight" else None))
         if occ.n_boxes == 0:
             print("[occ] grid empty (model not yet dense) — store unchanged")
             return

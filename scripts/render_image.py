@@ -43,6 +43,12 @@ def main(argv=None):
                              'rays)')
     parser.add_argument('--occ_threshold', type=float, default=1.0,
                         help='sigma above which a grid cell is occupied')
+    parser.add_argument('--occ_mode', type=str, default='sigma',
+                        choices=['sigma', 'weight'],
+                        help='cell criterion: sigma = raw density '
+                             'threshold; weight = visibility-pruned (keep '
+                             'a cell only if this frame\'s rays deposit '
+                             'quadrature weight on it)')
     parser.add_argument('--occ_range', nargs='+', type=float, default=None,
                         help='grid world extent: 2 values (symmetric lo hi)'
                              ' or 6 (box corners); omit to auto-derive')
@@ -105,7 +111,10 @@ def main(argv=None):
             params["nerf_fine" if args.N_importance > 0 else "nerf_coarse"],
             mcfg, N=args.occ_N, occ_range=args.occ_range,
             sigma_threshold=args.occ_threshold,
-            aabb=rays_aabb(sample['rays']))
+            aabb=rays_aabb(sample['rays']),
+            mode=args.occ_mode,
+            vis_rays=(sample['rays'] if args.occ_mode == 'weight'
+                      else None))
         print(f"occupancy grid: {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
               f"({time.perf_counter() - t0:.1f}s build/load)")

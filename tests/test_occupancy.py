@@ -618,3 +618,114 @@ class TestPadBoxes:
         m1 = ray_box_segment_bits(jnp.asarray(box), jnp.asarray(rays), 32)
         m2 = ray_box_segment_bits(jnp.asarray(both), jnp.asarray(rays), 32)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+class TestWeightMode:
+    """Visibility-pruned (weight-mode) block maps: junk density behind an
+    opaque surface prunes away, unoccluded density reduces to the plain
+    sigma test, and cells no marched ray reaches are culled."""
+
+    N, BLOCK = 32, 4
+    LO = jnp.asarray([-1.0, -1.0, -1.0])
+    HI = jnp.asarray([1.0, 1.0, 1.0])
+
+    def _rays_along_x(self, y_lo=-0.95, y_hi=0.95, n_side=24):
+        ys = np.linspace(y_lo, y_hi, n_side, dtype=np.float32)
+        zs = np.linspace(-0.95, 0.95, n_side, dtype=np.float32)
+        yy, zz = np.meshgrid(ys, zs)
+        n = yy.size
+        o = np.stack([np.full(n, -2.0, np.float32), yy.ravel(), zz.ravel()],
+                     -1)
+        d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+        return np.concatenate(
+            [o, d, np.full((n, 1), 0.5, np.float32),
+             np.full((n, 1), 3.5, np.float32)], 1)
+
+    def _grid(self, slabs):
+        """sigma grid with x-axis slabs: list of (ix0, ix1, sigma)."""
+        sig = np.zeros((self.N,) * 3, np.float32)
+        for ix0, ix1, s in slabs:
+            sig[ix0:ix1] = s
+        return jnp.asarray(sig.reshape(-1))
+
+    def _sigma_mode_bm(self, sigma_flat, thresh=1.0):
+        """Host-side reference of the plain sigma criterion (same dilation
+        + block reduction)."""
+        occ = np.asarray(sigma_flat).reshape((self.N,) * 3) > thresh
+        dil = occ
+        for axis in range(3):
+            dil = dil | np.roll(dil, 1, axis) | np.roll(dil, -1, axis)
+        B = self.N // self.BLOCK
+        return dil.reshape(B, self.BLOCK, B, self.BLOCK, B,
+                           self.BLOCK).any(axis=(1, 3, 5))
+
+    def _bm(self, sigma_flat, rays, thresh=1.0):
+        from nerf_pl_tpu.rendering import weight_block_map_from_sigma
+        return np.asarray(weight_block_map_from_sigma(
+            sigma_flat, self.N, self.BLOCK, self.LO, self.HI,
+            jnp.asarray(rays), jnp.float32(thresh),
+            n_steps=128, ray_chunk=256)).astype(bool)
+
+    def test_occluded_junk_pruned(self):
+        """sigma mode keeps a high-density blob behind an opaque wall;
+        weight mode culls it (transmittance ~ 0 there)."""
+        sig = self._grid([(12, 15, 500.0), (20, 24, 50.0)])
+        bm_w = self._bm(sig, self._rays_along_x())
+        bm_s = self._sigma_mode_bm(sig)
+        assert bm_s[5].any(), "sigma mode must keep the junk blob"
+        assert bm_w[3].any(), "the wall itself must stay occupied"
+        assert not bm_w[5].any(), "occluded junk must be pruned"
+        assert not bm_w[6].any()
+
+    def test_unoccluded_matches_sigma(self):
+        """With nothing in front (T ~ 1) the weight criterion reduces to
+        the sigma threshold: the blob is kept."""
+        sig = self._grid([(20, 24, 50.0)])
+        bm_w = self._bm(sig, self._rays_along_x())
+        assert bm_w[5].any()
+        assert not bm_w[:3].any(), "empty space ahead of the blob"
+
+    def test_unobserved_cells_culled(self):
+        """Cells no marched ray passes through are culled even at high
+        sigma (the NerfAcc decay semantic)."""
+        sig = self._grid([(12, 15, 500.0)])
+        # upper-half rays only; y_hi stays off the grid edge because the
+        # (intentionally conservative) dilation wraps across the boundary
+        rays = self._rays_along_x(y_lo=0.15, y_hi=0.75)
+        bm = self._bm(sig, rays)
+        assert bm[3, 5:, :].any(), "observed wall half kept"
+        assert not bm[3, :3, :].any(), "unobserved wall half culled"
+
+    def test_threshold_semantics(self):
+        """Free-space transmittance ~ 1: marked iff sigma > threshold."""
+        sig = self._grid([(16, 20, 0.5)])
+        assert not self._bm(sig, self._rays_along_x(), thresh=1.0).any()
+        assert self._bm(sig, self._rays_along_x(), thresh=0.3)[4].any()
+
+    def test_weight_subset_of_sigma_with_mlp(self, rng):
+        """End-to-end build: mode='weight' marks a subset of mode='sigma'
+        blocks (w = alpha*T <= alpha, identical dilation/reduction)."""
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(3), mcfg.nerf)
+        o = rng.normal(size=(512, 3)).astype(np.float32) * 2
+        d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+        rays = np.concatenate(
+            [o, d, np.full((512, 1), 0.1, np.float32),
+             np.full((512, 1), 4.0, np.float32)], 1).astype(np.float32)
+        kw = dict(N=16, block=4, ranges=(-1.0, 1.0), sigma_threshold=0.5,
+                  chunk=1024, auto_widen=0)
+        occ_s = build_occupancy_grid(params, mcfg, **kw)
+        occ_w = build_occupancy_grid(params, mcfg, mode="weight",
+                                     vis_rays=rays, vis_steps=64, **kw)
+        s = occ_s.block_map.astype(bool)
+        w = occ_w.block_map.astype(bool)
+        assert not (w & ~s).any(), "weight blocks must be a sigma subset"
+
+    def test_mode_validation(self):
+        with pytest.raises(ValueError, match="mode"):
+            build_occupancy_grid({}, small_mcfg(), mode="bogus")
+        with pytest.raises(ValueError, match="vis_rays"):
+            build_occupancy_grid({}, small_mcfg(), mode="weight")
+        from nerf_pl_tpu.config import Hparams, validate_hparams
+        with pytest.raises(ValueError, match="occ_mode"):
+            validate_hparams(Hparams(occ_train=True, occ_mode="bogus"))
