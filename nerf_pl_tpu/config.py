@@ -110,9 +110,11 @@ def validate_hparams(hp: Hparams) -> Hparams:
                 "Change --batch_size.")
         if hp.precision == "bfloat16":
             warnings.warn(
-                "--precision bfloat16 has no effect with --fused_train: "
-                "the fused kernels already run bf16 matmuls with f32 "
-                "quadrature and keep f32 master weights", stacklevel=2)
+                "--precision bfloat16 with --fused_train selects bf16 "
+                "MASTER weights + optimizer moments (the kernels run bf16 "
+                "matmuls with f32 quadrature either way). Measured: no "
+                "step-time gain, small accuracy cost (BENCH_NOTES) — "
+                "prefer the default f32 masters", stacklevel=2)
     if hp.fused_train and hp.loss_type != "mse":
         warnings.warn(
             f"--loss_type {hp.loss_type}: the single-kernel loss-fused "

@@ -389,13 +389,24 @@ class Trainer:
 
     # --------------------------------------------------------------- state
     def init_state(self, key: jax.Array,
-                   init_params: Optional[Any] = None) -> TrainState:
-        """Initialize (or adopt) params + optimizer state with mesh placement."""
+                   init_params: Optional[Any] = None,
+                   master_dtype: Optional[Any] = None) -> TrainState:
+        """Initialize (or adopt) params + optimizer state with mesh placement.
+
+        master_dtype: optional dtype for the stored (master) weights and
+        their optimizer moments, e.g. jnp.bfloat16 — the compute path
+        already runs bf16 matmuls either way, so this only changes where
+        rounding happens in the UPDATE (experiment knob; the measured
+        accuracy cost is documented in BENCH_NOTES, f32 masters remain the
+        default)."""
         if init_params is None:
             kc, kf = jax.random.split(key)
             init_params = {"nerf_coarse": init_nerf_params(kc, self.mcfg.nerf)}
             if self.rcfg_train.N_importance > 0:
                 init_params["nerf_fine"] = init_nerf_params(kf, self.mcfg.nerf)
+        if master_dtype is not None:
+            init_params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, master_dtype), init_params)
         pspecs = model_pspecs(init_params, self.mesh.shape["model"],
                               self.tensor_parallel)
         shardings = jax.tree_util.tree_map(
@@ -525,6 +536,10 @@ class Trainer:
                                                   all_nsurv=all_nsurv)
         loss, mse, grads = self._loss_and_grads(state.params, rays, rgbs,
                                                 key, occm=occm)
+        # kernels accumulate grads in f32; match the master dtype so the
+        # optimizer moments keep it too (no-op for the default f32 masters)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, state.params)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

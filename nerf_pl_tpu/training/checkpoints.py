@@ -38,9 +38,24 @@ def _key_to_str(k) -> str:
     return str(k)
 
 
+_NPZ_NATIVE = tuple(np.dtype(d) for d in
+                    ("float64", "float32", "float16", "int64", "int32",
+                     "int16", "int8", "uint8", "uint32", "uint64", "bool"))
+
+
+def _to_savable(leaf) -> np.ndarray:
+    """np.savez stores ml_dtypes extension dtypes (bfloat16 masters) as raw
+    void bytes that do not round-trip; upcast them losslessly to float32 —
+    load_checkpoint casts back to the template's dtype."""
+    arr = np.asarray(leaf)
+    if arr.dtype not in _NPZ_NATIVE:
+        arr = np.asarray(leaf, np.float32)
+    return arr
+
+
 def flatten_with_paths(tree) -> Dict[str, np.ndarray]:
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {"/".join(_key_to_str(k) for k in path): np.asarray(leaf)
+    return {"/".join(_key_to_str(k) for k in path): _to_savable(leaf)
             for path, leaf in leaves}
 
 

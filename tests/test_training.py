@@ -378,3 +378,92 @@ class TestOccTrainEndToEnd:
         assert nf0 is not None
         shrunk = (cur[:, 1] - cur[:, 0]) < (nf0[:, 1] - nf0[:, 0]) - 1e-4
         assert shrunk.mean() > 0.1
+
+
+@pytest.mark.slow
+class TestOccPackEndToEnd:
+    """--occ_pack (+ --occ_mode weight) through NeRFSystem: packing fires,
+    training converges, and the packed-resume fast path (re-derive grid +
+    apply only the last epoch key) restores a working packed store."""
+
+    def _hp(self, root, num_epochs, **kw):
+        from nerf_pl_tpu.config import Hparams
+        return Hparams(root_dir=root, dataset_name="blender",
+                       img_wh=(24, 24), N_samples=16, N_importance=8,
+                       perturb=1.0, noise_std=1.0, batch_size=256,
+                       num_epochs=num_epochs, lr=7e-4, decay_step=[100],
+                       scan_steps=27, val_chunk=288,
+                       occ_train=True, occ_warmup_epochs=3,
+                       occ_refresh_epochs=4, occ_N=32, occ_threshold=0.5,
+                       occ_margin=0.1, occ_segments=16, occ_dilate=1,
+                       occ_pack=True, occ_mode="weight", **kw)
+
+    def test_fit_packed_weight_mode(self, tmp_path, capsys):
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_blender_scene
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=12,
+                                  n_val=1, n_test=1, wh=(24, 24))
+        os.chdir(tmp_path)
+        system = NeRFSystem(self._hp(root, 13, exp_name="pack_e2e"),
+                            enable_tb=False)
+        final = system.fit()
+        out = capsys.readouterr().out
+        assert "packed: x" in out            # packing actually engaged
+        assert final["val/psnr"] > 16.0
+        tr = system.trainer
+        assert tr.all_hit is not None and tr.pack_expand > 1.05
+        # survivors-first invariant still holds at the end of training
+        hit = np.asarray(tr.all_hit).reshape(tr.n_data, -1)
+        nsurv = np.asarray(tr.all_nsurv)
+        for row, k in zip(hit, nsurv):
+            assert row[:k].all() and not row[k:].any()
+
+    def test_packed_resume(self, tmp_path):
+        """Resume past warmup takes the canonical fast path: the grid is
+        re-derived from the restored params and only the last epoch key is
+        applied; the resumed run keeps a valid packed store and finishes
+        within tolerance of the uninterrupted run."""
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_blender_scene
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=12,
+                                  n_val=1, n_test=1, wh=(24, 24))
+        os.chdir(tmp_path)
+        sA = NeRFSystem(self._hp(root, 10, exp_name="pack_live"),
+                        enable_tb=False)
+        liveA = sA.fit()
+        sB = NeRFSystem(self._hp(root, 7, exp_name="pack_res"),
+                        enable_tb=False)
+        sB.fit()
+        ckpt = os.path.join("ckpts", "pack_res", "last.ckpt")
+        sC = NeRFSystem(self._hp(root, 10, exp_name="pack_res",
+                                 ckpt_path=ckpt), enable_tb=False)
+        resC = sC.fit()
+        assert int(sC.state.step) == int(sA.state.step)
+        # packed store restored: grid re-derived, survivors-first layout
+        assert sC.trainer.all_hit is not None
+        assert sC.trainer.pack_expand > 1.05
+        hit = np.asarray(sC.trainer.all_hit).reshape(sC.trainer.n_data, -1)
+        nsurv = np.asarray(sC.trainer.all_nsurv)
+        for row, k in zip(hit, nsurv):
+            assert row[:k].all() and not row[k:].any()
+        assert resC["val/psnr"] > 16.0
+        assert abs(resC["val/psnr"] - liveA["val/psnr"]) < 3.0
+
+
+class TestBF16CheckpointRoundtrip:
+    def test_bf16_leaf_roundtrips(self, tmp_path):
+        """np.savez stores ml_dtypes bfloat16 as raw void bytes; the saver
+        must upcast to f32 so load_checkpoint can cast back losslessly."""
+        import jax.numpy as jnp
+        from nerf_pl_tpu.training.checkpoints import (load_checkpoint,
+                                                      save_checkpoint)
+        tree = {"w": jnp.asarray([1.5, -2.25, 3.0], jnp.bfloat16),
+                "step": jnp.asarray(7, jnp.int32)}
+        p = str(tmp_path / "bf16.ckpt")
+        save_checkpoint(p, tree, {"epoch": 1})
+        restored, meta = load_checkpoint(p, tree)
+        assert restored["w"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(restored["w"], np.float32),
+            np.asarray(tree["w"], np.float32))
+        assert meta["epoch"] == 1
