@@ -20,13 +20,26 @@ REFERENCE_RAYS_PER_SEC = 1024 / 0.12  # nerf_pl on RTX 2080 Ti
 
 
 def main():
+    import argparse
+
     from nerf_pl_tpu.parallel import Trainer, make_mesh
     from nerf_pl_tpu.rendering import ModelConfig, RenderConfig
     from nerf_pl_tpu.training import get_lr_schedule, get_optimizer, loss_dict
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="dense",
+                    choices=["dense", "culled48", "culled32"],
+                    help="dense = reference flagship (64+64). culledN = "
+                         "occupancy-tightened training step (N coarse "
+                         "samples placed in occupied segments + 64 fine; "
+                         "the recipe PARITY.md validates for accuracy)")
+    args = ap.parse_args()
+    culled = args.config.startswith("culled")
+    n_coarse = 64 if not culled else int(args.config[len("culled"):])
+
     batch = 1024
     mesh = make_mesh(num_data=1)
-    rcfg = RenderConfig(N_samples=64, N_importance=64, perturb=1.0,
+    rcfg = RenderConfig(N_samples=n_coarse, N_importance=64, perturb=1.0,
                         noise_std=1.0, white_back=True, fused_train=True,
                         fused_loss=True)
     sched = get_lr_schedule("steplr", 5e-4, 16, 1000, decay_step=[2, 4, 8],
@@ -47,6 +60,16 @@ def main():
          np.full((n, 1), 6.0, np.float32)], 1)
     rgbs = rng.random((n, 3)).astype(np.float32)
     tr.set_data(rays, rgbs)
+    if culled:
+        # the occ-tightened step's extra work (interval clip + per-ray
+        # occupied-segment sample placement + packed store bookkeeping) is
+        # content-independent — synthetic boxes exercise the same program
+        boxes = np.asarray([[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]], np.float32)
+        st = tr.tighten_store(boxes, margin=0.1, n_seg=32, dilate=1,
+                              pack=True)
+        print(f"[bench] culled store: hit {st['hit_frac']:.2f}, "
+              f"shrink {st['shrink']:.2f}, expand x{st['expand']:.2f}",
+              file=sys.stderr)
 
     state = tr.init_state(jax.random.PRNGKey(0))
 
@@ -78,7 +101,8 @@ def main():
 
     rays_per_sec = steps * batch / min(dts)
     spread = [round(steps * batch / dt, 1) for dt in sorted(dts)]
-    print(f"[bench] segment spread (rays/s): {spread}", file=sys.stderr)
+    print(f"[bench] config={args.config} segment spread (rays/s): {spread}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

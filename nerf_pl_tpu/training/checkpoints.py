@@ -53,8 +53,32 @@ def _to_savable(leaf) -> np.ndarray:
     return arr
 
 
+def device_fetch(tree):
+    """Pipelined device->host fetch of a pytree.
+
+    np.asarray per leaf costs one synchronous round-trip each — over the
+    remote-TPU tunnel that made a ~7 MB checkpoint take seconds (measured
+    6.7 s/epoch, ~45% of a small run's wall time). Kicking off every
+    leaf's copy_to_host_async first overlaps the RPCs; the subsequent
+    np.asarray calls then hit already-arrived buffers."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    for leaf in leaves:
+        if hasattr(leaf, "copy_to_host_async"):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break                      # backend without async copies
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 def flatten_with_paths(tree) -> Dict[str, np.ndarray]:
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for _, leaf in leaves:
+        if hasattr(leaf, "copy_to_host_async"):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break
     return {"/".join(_key_to_str(k) for k in path): _to_savable(leaf)
             for path, leaf in leaves}
 

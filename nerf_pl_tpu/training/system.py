@@ -26,8 +26,8 @@ from ..parallel.mesh import make_mesh
 from ..parallel.spmd import Trainer
 from ..rendering.render import ModelConfig, RenderConfig
 from ..utils.visualization import visualize_depth
-from .checkpoints import (TopKCheckpoints, load_checkpoint, load_ckpt,
-                          load_meta, save_checkpoint)
+from .checkpoints import (TopKCheckpoints, device_fetch, load_checkpoint,
+                          load_ckpt, load_meta, save_checkpoint)
 from .losses import loss_dict
 from .lr_schedule import get_lr_schedule
 from .metrics import psnr as psnr_fn
@@ -346,11 +346,14 @@ class NeRFSystem:
                       f"psnr={val['val/psnr']:.2f} "
                       f"ssim={val['val/ssim']:.3f}", flush=True)
                 with timer.phase("checkpoint"):
-                    self.topk.maybe_save(self.state, val["val/loss"], epoch,
+                    # ONE pipelined device->host fetch serves both saves
+                    # (each used to pay its own per-leaf tunnel round-trips)
+                    host_state = device_fetch(self.state)
+                    self.topk.maybe_save(host_state, val["val/loss"], epoch,
                                          meta={"step": step})
                     save_checkpoint(
                         os.path.join(self.ckpt_dir, "last.ckpt"),
-                        self.state, {"step": step, "epoch": epoch})
+                        host_state, {"step": step, "epoch": epoch})
         if self.writer is not None:
             self.writer.flush()
         print(f"[profiler]\n{timer.summary()}", flush=True)

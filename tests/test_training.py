@@ -211,6 +211,19 @@ class TestCheckpoints:
         sd = extract_model_state_dict(slim, "nerf_coarse")
         assert set(sd) == {"xyz_0/w", "xyz_0/b"}
 
+    def test_device_fetch_matches_and_is_host(self):
+        from nerf_pl_tpu.training.checkpoints import device_fetch
+        st = self._state(4.5)
+        host = device_fetch(st)
+        for a, b in zip(jax.tree_util.tree_leaves(host),
+                        jax.tree_util.tree_leaves(st)):
+            assert isinstance(a, np.ndarray)
+            np.testing.assert_allclose(a, np.asarray(b))
+        # already-host trees (resume path) pass through unchanged
+        host2 = device_fetch(host)
+        np.testing.assert_allclose(
+            host2.params["nerf_coarse"]["xyz_0"]["w"], 4.5)
+
     def test_topk(self, tmp_path):
         topk = TopKCheckpoints(str(tmp_path / "ck"), k=2)
         st = self._state()
