@@ -78,6 +78,9 @@ class Hparams:
     occ_dilate: int = 1             # widen occupied segment runs by this
     #   many segments per side so the sample bordering an empty gap lands
     #   where sigma is free to decay (train-render consistency)
+    occ_keepalive: float = 0.0      # fraction of coarse sample mass spread
+    #   uniformly over ALL segments (occupied placement only): keeps gap
+    #   sigma supervised for dense-sampling evaluation
     occ_pack: bool = False          # survivor-packed batches: rays missing
     #   every occupancy box stop consuming step compute (their render is
     #   analytically the background; covered by a constant loss term)
@@ -143,6 +146,14 @@ def validate_hparams(hp: Hparams) -> Hparams:
                 "interval) instead")
         if hp.occ_dilate < 0:
             raise ValueError(f"--occ_dilate {hp.occ_dilate} must be >= 0")
+        if not 0.0 <= hp.occ_keepalive < 1.0:
+            raise ValueError(
+                f"--occ_keepalive {hp.occ_keepalive} must be in [0, 1) "
+                "(fraction of coarse sample mass spread over all segments)")
+        if hp.occ_keepalive > 0 and hp.occ_segments == 0:
+            raise ValueError(
+                "--occ_keepalive applies to occupied-segment placement; "
+                "it needs --occ_segments > 0")
         if hp.occ_mode not in ("sigma", "weight"):
             raise ValueError(
                 f"--occ_mode {hp.occ_mode!r} must be 'sigma' or 'weight'")
@@ -268,6 +279,12 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                              'empty gap then lands where sigma can decay '
                              'to zero, keeping the trained field '
                              'consistent with dense rendering); 0 = off')
+    parser.add_argument('--occ_keepalive', type=float, default=0.0,
+                        help='fraction of the coarse sample mass placed '
+                             'uniformly over ALL segments when '
+                             'occupied-segment placement is active — '
+                             'keeps interior-gap sigma supervised for '
+                             'dense-sampling eval; 0 = off')
     parser.add_argument('--occ_pack', default=False, action='store_true',
                         help='survivor-packed training batches: rays that '
                              'miss every occupancy box (analytic '

@@ -66,6 +66,13 @@ class RenderConfig:
     # standalone forward). Only valid for the reference MSE loss; the SPMD
     # Trainer takes this path instead of jax.value_and_grad when set.
     fused_loss: bool = False
+    # Occupied-segment placement only: fraction of the coarse sample mass
+    # spread uniformly over ALL segments of the (tightened) interval
+    # instead of occupied ones. Keeps the model supervised at interior
+    # empty gaps it would otherwise never sample after warmup — insurance
+    # against train/eval distribution drift under dense evaluation — at
+    # zero extra FLOPs (same sample count).
+    occ_keepalive: float = 0.0
 
 
 def volume_quadrature(sigmas: jnp.ndarray,
@@ -149,7 +156,7 @@ def _evaluate_field(params, xyz, rays_d, dir_emb, z_vals, dir_norms,
 
 def occupied_z_vals(rays: jnp.ndarray, occm: jnp.ndarray, n_seg: int,
                     N_samples: int, perturb: float,
-                    key: jax.Array) -> jnp.ndarray:
+                    key: jax.Array, keepalive: float = 0.0) -> jnp.ndarray:
     """Coarse sample placement concentrated in occupied space.
 
     Each ray's [near, far] is split into ``n_seg`` equal segments with a
@@ -166,6 +173,11 @@ def occupied_z_vals(rays: jnp.ndarray, occm: jnp.ndarray, n_seg: int,
     follows the reference's convention (perturb=0 -> stratum midpoints,
     deterministic; perturb=1 -> uniform within each stratum).
 
+    ``keepalive`` in [0, 1) mixes a fraction of the sample mass back onto
+    ALL segments (per-segment weight (1-k)*bit/n_occ + k/n_seg): interior
+    gaps keep receiving ~k of the samples, so sigma there stays supervised
+    for dense-sampling evaluation instead of drifting unconstrained.
+
     Returns (R, N_samples) ascending sample depths in [near, far].
     """
     from .occupancy import unpack_segment_bits
@@ -174,6 +186,9 @@ def occupied_z_vals(rays: jnp.ndarray, occm: jnp.ndarray, n_seg: int,
     seg = jnp.arange(n_seg + 1, dtype=rays.dtype) / n_seg
     edges = near * (1.0 - seg) + far * seg             # (R, n_seg+1)
     bits = unpack_segment_bits(occm, n_seg)            # (R, n_seg)
+    if keepalive > 0.0:
+        n_occ = jnp.maximum(jnp.sum(bits, axis=-1, keepdims=True), 1.0)
+        bits = (1.0 - keepalive) * bits / n_occ + keepalive / n_seg
     j = jnp.arange(N_samples, dtype=rays.dtype)
     if perturb > 0:
         xi = perturb * jax.random.uniform(
@@ -217,7 +232,8 @@ def render_rays(params: Dict[str, Any],
 
     if occm is not None:
         z_vals = occupied_z_vals(rays, occm, n_seg, cfg.N_samples,
-                                 cfg.perturb, k_perturb)
+                                 cfg.perturb, k_perturb,
+                                 keepalive=cfg.occ_keepalive)
     else:
         z_steps = jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=rays.dtype)
         if not cfg.use_disp:  # linear in depth
@@ -361,7 +377,8 @@ def fused_mse_train_step(params: Dict[str, Any],
     near, far = rays[:, 6:7], rays[:, 7:8]
     if occm is not None:
         z_vals = occupied_z_vals(rays, occm, n_seg, cfg.N_samples,
-                                 cfg.perturb, k_perturb)
+                                 cfg.perturb, k_perturb,
+                                 keepalive=cfg.occ_keepalive)
     else:
         z_steps = jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=rays.dtype)
         if not cfg.use_disp:

@@ -78,7 +78,8 @@ class NeRFSystem:
             compute_dtype=compute_dtype, fused=hp.fused_mlp,
             fused_train=hp.fused_train,
             # the loss-fused single-kernel step is exactly the reference MSE
-            fused_loss=(hp.fused_train and hp.loss_type == "mse"))
+            fused_loss=(hp.fused_train and hp.loss_type == "mse"),
+            occ_keepalive=hp.occ_keepalive)
         # Validation renders clean (no jitter/noise) full images.
         self.rcfg_val = RenderConfig(
             N_samples=hp.N_samples, N_importance=hp.N_importance,

@@ -34,6 +34,16 @@ class TestValidateHparams:
             validate_hparams(Hparams(occ_train=True,
                                      occ_range=[1.0, 2.0, 3.0]))
 
+    def test_occ_keepalive_range(self):
+        with pytest.raises(ValueError, match="--occ_keepalive"):
+            validate_hparams(Hparams(occ_train=True, occ_keepalive=1.0))
+        with pytest.raises(ValueError, match="--occ_keepalive"):
+            validate_hparams(Hparams(occ_train=True, occ_keepalive=-0.1))
+        with pytest.raises(ValueError, match="--occ_segments"):
+            validate_hparams(Hparams(occ_train=True, occ_keepalive=0.1,
+                                     occ_segments=0))
+        validate_hparams(Hparams(occ_train=True, occ_keepalive=0.1))
+
     def test_cli_parse_rejects(self, capsys):
         with pytest.raises(ValueError, match="--fused_train"):
             get_opts(["--fused_train", "--batch_size", "1028",

@@ -505,6 +505,37 @@ class TestSegmentBits:
         in_occ = np.take_along_axis(bits, seg, axis=1)
         assert in_occ.mean() > 0.999
 
+    def test_placement_keepalive_mixture(self):
+        from nerf_pl_tpu.rendering.occupancy import (ray_box_segment_bits,
+                                                     unpack_segment_bits)
+        from nerf_pl_tpu.rendering.render import occupied_z_vals
+        S, N = 32, 64
+        rays, boxes = self._rays_boxes(S=S)
+        mask = ray_box_segment_bits(jnp.asarray(boxes), jnp.asarray(rays), S)
+        args = (jnp.asarray(rays), mask, S, N, 1.0, jax.random.PRNGKey(1))
+        z0 = np.asarray(occupied_z_vals(*args, keepalive=0.0))
+        zd = np.asarray(occupied_z_vals(*args))
+        np.testing.assert_array_equal(z0, zd)       # 0 == default == off
+        k = 0.25
+        zk = np.asarray(occupied_z_vals(*args, keepalive=k))
+        assert np.all(np.diff(zk, axis=1) >= -1e-5), "z not ascending"
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        assert zk.min() >= near.min() - 1e-4 and zk.max() <= far.max() + 1e-4
+        bits = np.asarray(unpack_segment_bits(mask, S)) > 0.5
+        seg = np.clip(((zk - near) / ((far - near) / S)).astype(int),
+                      0, S - 1)
+        in_occ = np.take_along_axis(bits, seg, axis=1)
+        # rays with at least one empty segment should place ~k of their
+        # samples outside occupied segments: k * (1 - n_occ/S) of the mass
+        partial = ~bits.all(axis=1)
+        assert partial.any()
+        n_occ = bits[partial].sum(axis=1)
+        expect_out = k * (1.0 - n_occ / S)
+        got_out = 1.0 - in_occ[partial].mean(axis=1)
+        assert np.abs(got_out - expect_out).mean() < 0.05
+        # occupied segments still get the dominant share
+        assert in_occ[partial].mean() > 0.6
+
     def test_placement_det_and_uniform_fallback(self):
         from nerf_pl_tpu.rendering.render import occupied_z_vals
         R, S, N = 16, 32, 64
