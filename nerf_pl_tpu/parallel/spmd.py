@@ -106,8 +106,12 @@ class Trainer:
         all_rgbs = all_rgbs[perm]
         pad = (-n) % max(self.batch_size, self.n_data)
         if pad:
-            all_rays = np.concatenate([all_rays, all_rays[:pad]], 0)
-            all_rgbs = np.concatenate([all_rgbs, all_rgbs[:pad]], 0)
+            # modular tiling: pad can exceed n for stores smaller than the
+            # global batch (all_rays[:pad] would then under-pad and the
+            # per-device dynamic_slice would be out of bounds)
+            idx = np.arange(pad) % n
+            all_rays = np.concatenate([all_rays, all_rays[idx]], 0)
+            all_rgbs = np.concatenate([all_rgbs, all_rgbs[idx]], 0)
         sh = NamedSharding(self.mesh, P("data"))
         self.all_rays = jax.device_put(all_rays, sh)
         self.all_rgbs = jax.device_put(all_rgbs, sh)

@@ -168,6 +168,11 @@ def weight_block_map_from_sigma(sigma_flat: jnp.ndarray, N: int, block: int,
     to march resolution — a culled cell provably contributes (almost) no
     weight to any of those rays. Callers pass the rays they are about to
     render (eval) or the training ray store (training-side tightening).
+    NOTE: callers that march only a SUBSET of their rays (the
+    max_vis_rays stride in build_occupancy_grid) weaken this to
+    approximate — a cell visible only between stride samples in every
+    view is pruned; vary vis_offset across rebuilds so such holes do not
+    persist.
     Thin-structure insurance: the march step should not exceed the cell
     size (n_steps >= span/cell), and the 1-cell dilation below absorbs
     nearest-cell quantization.
@@ -354,6 +359,12 @@ def resolve_ranges(occ_range, params: Dict, mcfg: ModelConfig,
     if len(occ_range) == 6:
         return (np.asarray(occ_range[:3], np.float32),
                 np.asarray(occ_range[3:], np.float32))
+    if len(occ_range) != 2:
+        # eval.py / render_image.py pass nargs='+' straight through —
+        # reject malformed arity here instead of silently truncating
+        raise ValueError(
+            f"--occ_range takes 2 values (symmetric lo hi) or 6 "
+            f"(lox loy loz hix hiy hiz); got {len(occ_range)}")
     return occ_range
 
 
@@ -375,7 +386,8 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
                          mode: str = "sigma",
                          vis_rays: Optional[np.ndarray] = None,
                          vis_steps: int = 256,
-                         max_vis_rays: int = 200_000) -> OccupancyGrid:
+                         max_vis_rays: int = 200_000,
+                         vis_offset: int = 0) -> OccupancyGrid:
     """Build the culling structure from a trained (fine) model's sigma field.
 
     Args:
@@ -424,8 +436,13 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
 
     if mode == "weight":
         vis_rays = np.asarray(vis_rays, np.float32)
+        # Cap the marched set by striding. This makes weight-mode culling
+        # approximate (see the contract note above): callers that rebuild
+        # periodically (training refreshes) pass a varying vis_offset so a
+        # thin structure missed by one phase of the stride is recovered by
+        # the next rebuild rather than pruned forever.
         stride = max(1, len(vis_rays) // max_vis_rays)
-        vis_rays = jnp.asarray(vis_rays[::stride])
+        vis_rays = jnp.asarray(vis_rays[vis_offset % stride::stride])
 
         def fn(params, lo, hi):
             sig = _sigma_grid_fn(mcfg, N, chunk)(params, lo=lo, hi=hi)
@@ -458,14 +475,16 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
             stacklevel=2)
 
     boxes = _blocks_to_boxes(block_map, lo, hi)
-    while len(boxes) > max_boxes and block < N:
-        block *= 2
-        B = N // block
-        bb = block_map
-        # coarsen the existing block map instead of re-querying sigma
-        s = bb.shape[0] // B
-        bb = bb.reshape(B, s, B, s, B, s).any(axis=(1, 3, 5)).astype(np.uint8)
-        block_map = bb
+    while len(boxes) > max_boxes and block_map.shape[0] > 1:
+        # coarsen the existing block map instead of re-querying sigma —
+        # merge by the SMALLEST factor of the current edge count so the
+        # reshape is always exact (block*=2 crashed whenever it broke the
+        # N % block == 0 invariant, e.g. pick_block-accepted odd N)
+        B_old = block_map.shape[0]
+        s = next(f for f in range(2, B_old + 1) if B_old % f == 0)
+        B = B_old // s
+        block_map = block_map.reshape(
+            B, s, B, s, B, s).any(axis=(1, 3, 5)).astype(np.uint8)
         boxes = _blocks_to_boxes(block_map, lo, hi)
     return OccupancyGrid(boxes=boxes, block_map=block_map, lo=lo, hi=hi)
 
@@ -477,11 +496,17 @@ def grid_cache_path(ckpt_path: str) -> str:
 
 
 def _grid_cache_key(ckpt_path: str, N: int, occ_range, threshold: float,
-                    mode: str = "sigma", vis_rays=None) -> str:
+                    mode: str = "sigma", vis_rays=None, aabb=None) -> str:
     import os
     st = os.stat(ckpt_path)
     rng_s = "auto" if (occ_range is None or occ_range == "auto") \
         else ",".join(f"{float(v):.6g}" for v in occ_range)
+    if rng_s == "auto" and aabb is not None:
+        # auto ranges are capped by the caller's viewing-volume AABB — a
+        # grid auto-built for one pose set must not be reused for another
+        # (geometry outside the cached hull would silently cull)
+        rng_s += "@" + ",".join(
+            f"{float(v):.5g}" for part in aabb for v in np.ravel(part))
     key = f"{st.st_mtime_ns}:{st.st_size}:{N}:{rng_s}:{threshold:.6g}"
     if mode != "sigma":
         # fingerprint the visibility ray set (shape + a few moments) so a
@@ -512,7 +537,7 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
     import os
     path = grid_cache_path(ckpt_path)
     key = _grid_cache_key(ckpt_path, N, occ_range, sigma_threshold,
-                          mode=mode, vis_rays=vis_rays)
+                          mode=mode, vis_rays=vis_rays, aabb=aabb)
     if os.path.exists(path):
         try:
             z = np.load(path, allow_pickle=False)
@@ -788,14 +813,11 @@ class CulledRenderer:
         per = -(-R // gran)
         return min(self.chunk, -(-per // 8) * 8)
 
-    def _program(self, n_tiles: int, R: int, chunk: int):
-        key = (n_tiles, R, chunk)
-        if key in self._programs:
-            return self._programs[key]
-        rcfg, mcfg = self.rcfg, self.mcfg
-        white = rcfg.white_back
-        mesh = self.mesh
-        n_seg = self.segments
+    def _make_tile_render(self, rcfg):
+        """lax.map over fixed-size ray tiles, shard_mapped over the data
+        mesh when one is attached — shared by the uniform and per-bucket
+        programs (they differ only in the RenderConfig)."""
+        mcfg, n_seg = self.mcfg, self.segments
 
         def tile_render(params, tiles, occm_t, key_):
             return jax.lax.map(
@@ -804,13 +826,21 @@ class CulledRenderer:
                                        n_seg=n_seg),
                 (tiles, occm_t))
 
-        if mesh is not None and self.n_data > 1:
+        if self.mesh is not None and self.n_data > 1:
             from jax.sharding import PartitionSpec as P
             tile_render = jax.shard_map(
-                tile_render, mesh=mesh,
+                tile_render, mesh=self.mesh,
                 in_specs=(P(), P("data"), P("data"), P()),
                 out_specs=P("data"),
                 check_vma=False)
+        return tile_render
+
+    def _program(self, n_tiles: int, R: int, chunk: int):
+        key = (n_tiles, R, chunk)
+        if key in self._programs:
+            return self._programs[key]
+        tile_render = self._make_tile_render(self.rcfg)
+        make_background = self._background
 
         @jax.jit
         def run(params, rays_sorted, occm_sorted, order, key_):
@@ -821,13 +851,7 @@ class CulledRenderer:
             flat = {k: v.reshape((n,) + v.shape[2:]) for k, v in out.items()}
             n_scatter = min(n, R)
             idx = order[:n_scatter]
-            typ = "fine" if rcfg.N_importance > 0 else "coarse"
-            bg_rgb = 1.0 if white else 0.0
-            img = {
-                f"rgb_{typ}": jnp.full((R, 3), bg_rgb, jnp.float32),
-                f"depth_{typ}": jnp.zeros((R,), jnp.float32),
-                f"opacity_{typ}": jnp.zeros((R,), jnp.float32),
-            }
+            _, img = make_background(R)
             for k in img:
                 if k in flat:
                     img[k] = img[k].at[idx].set(flat[k][:n_scatter])
@@ -856,25 +880,7 @@ class CulledRenderer:
         pkey = ("bucket", n_tiles, R, frac, chunk)
         if pkey in self._programs:
             return self._programs[pkey]
-        mcfg = self.mcfg
-        rcfg = self._rcfg_for_frac(frac)
-        mesh = self.mesh
-        n_seg = self.segments
-
-        def tile_render(params, tiles, occm_t, key_):
-            return jax.lax.map(
-                lambda rm: render_rays(params, rm[0], key_, rcfg, mcfg,
-                                       occm=rm[1] if n_seg else None,
-                                       n_seg=n_seg),
-                (tiles, occm_t))
-
-        if mesh is not None and self.n_data > 1:
-            from jax.sharding import PartitionSpec as P
-            tile_render = jax.shard_map(
-                tile_render, mesh=mesh,
-                in_specs=(P(), P("data"), P("data"), P()),
-                out_specs=P("data"),
-                check_vma=False)
+        tile_render = self._make_tile_render(self._rcfg_for_frac(frac))
 
         @jax.jit
         def run(params, rays_sorted, occm_sorted, order, start, n_b, img,
@@ -907,13 +913,15 @@ class CulledRenderer:
         n_tiles = max(1, -(-n // chunk))
         return min(-(-n_tiles // gran) * gran, -(-cap_tiles // gran) * gran)
 
-    def _background(self, R: int):
+    def _background(self, rows: int):
+        """All-background render buffers with exactly ``rows`` rows (the
+        bucketed path passes R+1: row R is the spillover dump slot)."""
         typ = "fine" if self.rcfg.N_importance > 0 else "coarse"
         bg_rgb = 1.0 if self.rcfg.white_back else 0.0
         return typ, {
-            f"rgb_{typ}": jnp.full((R + 1, 3), bg_rgb, jnp.float32),
-            f"depth_{typ}": jnp.zeros((R + 1,), jnp.float32),
-            f"opacity_{typ}": jnp.zeros((R + 1,), jnp.float32),
+            f"rgb_{typ}": jnp.full((rows, 3), bg_rgb, jnp.float32),
+            f"depth_{typ}": jnp.zeros((rows,), jnp.float32),
+            f"opacity_{typ}": jnp.zeros((rows,), jnp.float32),
         }
 
     def __call__(self, params, rays, key: Optional[jax.Array] = None,
@@ -964,7 +972,7 @@ class CulledRenderer:
              jnp.broadcast_to(occm_sorted[-1:], (pad_rows,))], 0)
         order = jnp.concatenate(
             [order, jnp.full((pad_rows,), R, order.dtype)], 0)
-        typ, img = self._background(R)
+        typ, img = self._background(R + 1)   # row R = spillover dump slot
         starts = np.concatenate([[0], np.cumsum(counts_h)])
         rendered = 0
         for b, frac in enumerate(self._BUCKET_FRACS):

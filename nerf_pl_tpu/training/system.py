@@ -155,7 +155,12 @@ class NeRFSystem:
         hp = self.hparams
         params = self.state.params.get("nerf_fine",
                                        self.state.params["nerf_coarse"])
-        aabb = rays_aabb(self.train_dataset.all_rays)
+        # the dataset rays never change — compute the hull once, not per
+        # refresh (it materializes O(n_rays) temporaries on the host)
+        if getattr(self, "_rays_aabb", None) is None:
+            self._rays_aabb = rays_aabb(self.train_dataset.all_rays)
+        aabb = self._rays_aabb
+        self._occ_refresh_i = getattr(self, "_occ_refresh_i", -1) + 1
         auto = hp.occ_range is None
         ranges = resolve_ranges(
             hp.occ_range, params, self.mcfg, aabb=aabb,
@@ -169,7 +174,11 @@ class NeRFSystem:
             # store's [near, far] is already tightened in place across
             # refreshes; marching must cover the full untightened span)
             vis_rays=(self.train_dataset.all_rays
-                      if hp.occ_mode == "weight" else None))
+                      if hp.occ_mode == "weight" else None),
+            # vary the visibility-ray stride phase across refreshes so a
+            # thin structure missed by one subsample is recovered by the
+            # next rebuild instead of being pruned persistently
+            vis_offset=self._occ_refresh_i)
         if occ.n_boxes == 0:
             print("[occ] grid empty (model not yet dense) — store unchanged")
             return

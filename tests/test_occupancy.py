@@ -141,6 +141,50 @@ class TestSigmaBlockMap:
         np.testing.assert_array_equal(bm, expect)
 
 
+class TestCoarsenOddN:
+    @pytest.mark.filterwarnings("ignore:occupancy grid")
+    def test_max_boxes_coarsening_non_power_of_two(self):
+        """The box-cap coarsening must stay exact for any N pick_block
+        accepts (block*=2 used to crash with a reshape error whenever it
+        broke N % block == 0, e.g. N=27 -> block=1 -> 2)."""
+        from nerf_pl_tpu.rendering.occupancy import build_occupancy_grid
+        mcfg = small_mcfg()
+        # random init: sigma straddles 0 -> noisy map with many boxes
+        params = init_nerf_params(jax.random.PRNGKey(3), mcfg.nerf)
+        occ = build_occupancy_grid(params, mcfg, N=27, block=1,
+                                   sigma_threshold=0.0, chunk=729,
+                                   max_boxes=4, auto_widen=0)
+        # coarsening by the smallest factor of the edge count (27->9->3->1)
+        # always terminates; the cap may overshoot only at the 1-block floor
+        assert occ.n_boxes <= 4 or occ.block_map.shape == (1, 1, 1)
+        assert occ.n_boxes >= 1
+
+
+class TestResolveRangesArity:
+    def test_rejects_wrong_arity(self):
+        from nerf_pl_tpu.rendering.occupancy import resolve_ranges
+        with pytest.raises(ValueError, match="--occ_range"):
+            resolve_ranges([-1.5, 1.5, 2.0], None, None, aabb=None)
+
+
+class TestCacheKeyAabb:
+    def test_auto_key_varies_with_aabb(self, tmp_path):
+        """An auto-ranged grid is capped by the caller's viewing-volume
+        hull — a grid cached for one pose set must not serve another."""
+        from nerf_pl_tpu.rendering.occupancy import _grid_cache_key
+        p = tmp_path / "m.ckpt"
+        p.write_bytes(b"x")
+        a1 = (np.zeros(3, np.float32), np.ones(3, np.float32))
+        a2 = (np.zeros(3, np.float32), np.full(3, 2.0, np.float32))
+        k1 = _grid_cache_key(str(p), 8, None, 1.0, aabb=a1)
+        k2 = _grid_cache_key(str(p), 8, None, 1.0, aabb=a2)
+        assert k1 != k2
+        # explicit ranges ignore the hull (it does not affect the build)
+        e1 = _grid_cache_key(str(p), 8, [-1.5, 1.5], 1.0, aabb=a1)
+        e2 = _grid_cache_key(str(p), 8, [-1.5, 1.5], 1.0, aabb=a2)
+        assert e1 == e2
+
+
 class TestBoundaryWarning:
     def test_warns_when_density_reaches_grid_edge(self):
         """Occupied blocks on the grid boundary mean the scene extends past

@@ -281,6 +281,24 @@ class TestStorePadding:
         assert set(np.arange(1000)) <= set(ids.astype(int))
 
 
+class TestTinyStorePadding:
+    def test_store_smaller_than_batch_tiles_modularly(self):
+        """pad > n (store smaller than the global batch) must tile the
+        store cyclically — all_rays[:pad] under-padded and the per-device
+        dynamic_slice went out of bounds."""
+        mesh = make_mesh()
+        tr = make_trainer(mesh, batch=256)
+        rays, _ = make_data(40)                   # 40 << 256
+        rgbs = np.arange(40, dtype=np.float32)[:, None].repeat(3, 1)
+        tr.set_data(rays, rgbs)
+        assert tr.all_rays.shape[0] == 256        # one full global batch
+        assert tr.steps_per_epoch_local == 1
+        _, got = tr._sample_batch(tr.all_rays, tr.all_rgbs,
+                                  jnp.asarray(0, jnp.int32))
+        ids = np.asarray(got)[:, 0].astype(int)
+        assert set(ids) == set(range(40))         # every ray still visited
+
+
 class TestTightenStore:
     def _boxed_data(self, n=512):
         rng = np.random.default_rng(5)
