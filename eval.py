@@ -26,7 +26,13 @@ def get_opts(argv=None):
     parser.add_argument('--scene_name', type=str, default='test',
                         help='output folder name for this scene')
     parser.add_argument('--split', type=str, default='test',
-                        help='split to render: test (novel path) or test_train (training poses)')
+                        help='split to render: test (novel path), '
+                             'test_train (training poses), or val '
+                             '(held-out views with ground truth)')
+    parser.add_argument('--val_num', type=int, default=1,
+                        help='llff --split val: number of distinct '
+                             'nearest-center held-out views (must match '
+                             'the value used at training time)')
     parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
                         help='image resolution as WIDTH HEIGHT')
     parser.add_argument('--spheric_poses', default=False, action="store_true",
@@ -94,6 +100,14 @@ def get_opts(argv=None):
                              'empty gaps; with --occ_budgets, buckets key '
                              'on occupied length instead of span. '
                              '0 = off')
+    parser.add_argument('--metrics_out', type=str, default=None,
+                        help='write per-view PSNR/SSIM + the full flag set '
+                             'as JSON to this path (auditable accuracy '
+                             'artifact — a PARITY.md mean can be recomputed '
+                             'from this file alone)')
+    parser.add_argument('--save_gt', default=False, action='store_true',
+                        help='also save ground-truth PNGs (gt_###.png) next '
+                             'to predictions for committed pred/GT pairs')
     parser.add_argument('--frames_per_dispatch', type=int, default=4,
                         help='frames rendered per device dispatch: rays of '
                              'N poses are pooled into one program call, '
@@ -127,6 +141,7 @@ def main(argv=None):
     from nerf_pl_tpu.training import get_optimizer, loss_dict
     from nerf_pl_tpu.training.checkpoints import load_ckpt
     from nerf_pl_tpu.training.metrics import psnr as psnr_fn
+    from nerf_pl_tpu.training.metrics import ssim as ssim_fn
 
     args = get_opts(argv)
     w, h = args.img_wh
@@ -135,6 +150,7 @@ def main(argv=None):
               'img_wh': tuple(args.img_wh)}
     if args.dataset_name == 'llff':
         kwargs['spheric_poses'] = args.spheric_poses
+        kwargs['val_num'] = args.val_num
     dataset = dataset_dict[args.dataset_name](**kwargs)
 
     mcfg = ModelConfig()
@@ -204,7 +220,7 @@ def main(argv=None):
     dir_name = os.path.join(args.out_dir, args.dataset_name, args.scene_name)
     os.makedirs(dir_name, exist_ok=True)
 
-    imgs, psnrs = [], []
+    imgs, psnrs, ssims, view_ids = [], [], [], []
     px = h * w
     fpd = max(1, args.frames_per_dispatch)
     render_time = 0.0
@@ -243,9 +259,17 @@ def main(argv=None):
                 os.path.join(dir_name, f'{i:03d}.png'))
 
             if 'rgbs' in sample:
+                gt = np.asarray(sample['rgbs']).reshape(h, w, 3)
+                view_ids.append(i)
                 psnrs.append(float(psnr_fn(
-                    jnp.asarray(img_pred),
-                    jnp.asarray(sample['rgbs'].reshape(h, w, 3)))))
+                    jnp.asarray(img_pred), jnp.asarray(gt))))
+                ssims.append(float(ssim_fn(
+                    jnp.asarray(img_pred.transpose(2, 0, 1)),
+                    jnp.asarray(gt.transpose(2, 0, 1)))))
+                if args.save_gt:
+                    Image.fromarray(
+                        (np.clip(gt, 0, 1) * 255).astype(np.uint8)).save(
+                        os.path.join(dir_name, f'gt_{i:03d}.png'))
         print(f"[eval] frame {idxs[-1] + 1}/{len(dataset)}", flush=True)
 
     save_gif(os.path.join(dir_name, f'{args.scene_name}.gif'), imgs, fps=30)
@@ -256,6 +280,25 @@ def main(argv=None):
           f"compile; {60 * n_f / max(render_time, 1e-9):.1f} frames/min)")
     if psnrs:
         print(f'Mean PSNR : {np.mean(psnrs):.2f}')
+        print(f'Mean SSIM : {np.mean(ssims):.4f}')
+    if args.metrics_out:
+        import json
+        os.makedirs(os.path.dirname(os.path.abspath(args.metrics_out)),
+                    exist_ok=True)
+        payload = {
+            "flags": {k: v for k, v in sorted(vars(args).items())},
+            "n_views": n_f,
+            "per_view": [{"view": v, "psnr": round(p, 4),
+                          "ssim": round(s, 6)}
+                         for v, p, s in zip(view_ids, psnrs, ssims)],
+            "mean_psnr": round(float(np.mean(psnrs)), 4) if psnrs else None,
+            "min_psnr": round(float(np.min(psnrs)), 4) if psnrs else None,
+            "mean_ssim": round(float(np.mean(ssims)), 6) if ssims else None,
+            "render_secs_total": round(render_time, 2),
+        }
+        with open(args.metrics_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"[eval] metrics written to {args.metrics_out}")
     return np.mean(psnrs) if psnrs else None
 
 

@@ -58,6 +58,9 @@ class Hparams:
                                     # fwd/bwd in single Pallas kernels)
     seed: int = 42
     num_workers: int = 0            # accepted for parity; data is on-device
+    val_num: int = 1                # llff: DISTINCT nearest-center views
+                                    # held out for validation (the reference
+                                    # replicated one view per GPU instead)
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     # Occupancy-tightened training (training-side empty-space skipping):
     # after --occ_warmup_epochs, the current model's occupancy grid clips
@@ -253,6 +256,12 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
     parser.add_argument('--seed', type=int, default=42, help='PRNG seed')
     parser.add_argument('--num_workers', type=int, default=0,
                         help='unused (data lives on device); kept for parity')
+    parser.add_argument('--val_num', type=int, default=1,
+                        help='llff: number of DISTINCT nearest-center views '
+                             'held out for validation (the reference '
+                             'replicated one view across GPUs; sharded '
+                             'validation needs no replication, so extra '
+                             'budget buys genuinely novel held-out views)')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='capture a jax.profiler trace of one training '
                              'segment into this directory')

@@ -31,9 +31,11 @@ def _load_image_rgb(path: str, wh) -> np.ndarray:
 class LLFFDataset:
     """Real scenes. Forward-facing (NDC) by default; --spheric_poses for 360.
 
-    val_num is accepted for CLI parity with the reference (llff.py:160-170,
-    which replicated the val image once per GPU); the sharded val path needs
-    no replication, so it only controls the reported val length.
+    val_num: number of DISTINCT nearest-to-center views held out for
+    validation. The reference (llff.py:160-170) replicated ONE val image
+    val_num times purely so each DDP rank had an item; sharded validation
+    needs no replication, so the same knob buys genuinely novel held-out
+    views instead (val_num=1 reproduces the reference split exactly).
     """
 
     white_back = False
@@ -73,7 +75,11 @@ class LLFFDataset:
             [poses[..., 1:2], -poses[..., :1], poses[..., 2:4]], -1)
         self.poses, self.pose_avg = center_poses(poses)
         distances = np.linalg.norm(self.poses[..., 3], axis=1)
-        val_idx = int(np.argmin(distances))
+        # argsort is stable, so val_idxs[0] == argmin(distances): the
+        # reference's single val view (llff.py:201-203) is always held out
+        # first; val_num > 1 extends the holdout to the next-nearest views.
+        self.val_idxs = [int(i) for i in np.argsort(distances)
+                         [:min(self.val_num, len(distances))]]
 
         # Scale so the nearest depth sits at ~1.33 (reference llff.py:205-211).
         near_original = self.bounds.min()
@@ -85,9 +91,10 @@ class LLFFDataset:
             self.img_wh[1], self.img_wh[0], self.focal)
 
         if self.split == "train":
+            val_set = set(self.val_idxs)
             all_rays, all_rgbs = [], []
             for i, image_path in enumerate(self.image_paths):
-                if i == val_idx:
+                if i in val_set:
                     continue
                 all_rgbs.append(_load_image_rgb(image_path, self.img_wh))
                 all_rays.append(self._rays_for_pose(self.poses[i]))
@@ -95,8 +102,9 @@ class LLFFDataset:
             self.all_rgbs = np.concatenate(all_rgbs, 0).astype(np.float32)
 
         elif self.split == "val":
-            self.c2w_val = self.poses[val_idx]
-            self.image_path_val = self.image_paths[val_idx]
+            self.c2w_vals = [self.poses[i] for i in self.val_idxs]
+            self.image_paths_val = [self.image_paths[i]
+                                    for i in self.val_idxs]
 
         else:  # test: a parametric render path (reference llff.py:260-271)
             if self.split.endswith("train"):
@@ -128,7 +136,7 @@ class LLFFDataset:
         if self.split == "train":
             return len(self.all_rays)
         if self.split == "val":
-            return self.val_num
+            return len(self.val_idxs)
         return len(self.poses_test)
 
     def __getitem__(self, idx: int):
@@ -136,12 +144,20 @@ class LLFFDataset:
             return {"rays": self.all_rays[idx], "rgbs": self.all_rgbs[idx]}
 
         if self.split == "val":
-            c2w = self.c2w_val
+            c2w = self.c2w_vals[idx]
         else:
             c2w = self.poses_test[idx]
 
         sample = {"rays": self._rays_for_pose(c2w),
                   "c2w": c2w.astype(np.float32)}
         if self.split == "val":
-            sample["rgbs"] = _load_image_rgb(self.image_path_val, self.img_wh)
+            sample["rgbs"] = _load_image_rgb(self.image_paths_val[idx],
+                                             self.img_wh)
+        elif self.split == "test_train" and idx < len(self.image_paths):
+            # test_train poses ARE the capture poses, so ground truth
+            # exists; attaching it lets eval.py score the split directly
+            # (the reference leaves test_train GT-less and can only score
+            # splits that carry 'rgbs', eval.py:140-143)
+            sample["rgbs"] = _load_image_rgb(self.image_paths[idx],
+                                             self.img_wh)
         return sample

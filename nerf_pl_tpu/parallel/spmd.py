@@ -419,6 +419,14 @@ class Trainer:
         params = jax.device_put(init_params, shardings)
         # optimizer.init under jit: moment buffers inherit param shardings.
         opt_state = jax.jit(self.optimizer.init)(params)
+        # Input-independent leaves (optax step counters) can come out of jit
+        # with a SingleDeviceSharding on multi-axis meshes; once committed
+        # (e.g. after a checkpoint-restore device_put) that clashes with the
+        # mesh-placed arrays at the next jit. Pin them replicated.
+        rep = NamedSharding(self.mesh, P())
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x if isinstance(x.sharding, NamedSharding)
+            else jax.device_put(x, rep), opt_state)
         step = jax.device_put(jnp.zeros([], jnp.int32),
                               NamedSharding(self.mesh, P()))
         return TrainState(params, opt_state, step)

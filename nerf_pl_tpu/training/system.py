@@ -56,7 +56,9 @@ class NeRFSystem:
         kwargs = {"root_dir": hp.root_dir, "img_wh": tuple(hp.img_wh)}
         if hp.dataset_name == "llff":
             kwargs["spheric_poses"] = hp.spheric_poses
-            kwargs["val_num"] = 1  # sharded val: no per-GPU replication hack
+            # sharded val needs no per-GPU replication; val_num > 1 holds
+            # out that many DISTINCT nearest-center views instead
+            kwargs["val_num"] = hp.val_num
         self.train_dataset = dataset(split="train", **kwargs)
         self.val_dataset = dataset(split="val", **kwargs)
 

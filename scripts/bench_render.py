@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Full-image render matrix: dense vs occupancy-culled configurations.
+
+Measures steady-state secs/frame at a given resolution for the dense
+sharded renderer and the CulledRenderer ladder (cull / +tighten /
++budgets / +segments), in sigma- or weight-mode grids, and reports each
+config's PSNR against the DENSE render of the same pose (the
+quality-delta the empty-space-skipping ladder must preserve).
+
+Timing methodology (BENCH_NOTES): the axon relay dedupes repeated
+(program, args) executions, so every timed repeat perturbs the ray
+origins by i * 1e-6 (visually nil, argument-distinct) and syncs by
+materializing an output leaf on the host. First call per config
+compiles and is excluded.
+
+    python scripts/bench_render.py --root_dir data/hard_blender \
+        --ckpt_path ckpts/hard400_dense/last.ckpt --img_wh 800 800 \
+        --occ_mode weight --json_out docs/bench/render_matrix.json
+"""
+import json
+import os
+import sys
+import time
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True)
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'llff'])
+    parser.add_argument('--split', type=str, default='test')
+    parser.add_argument('--idx', type=int, default=0)
+    parser.add_argument('--img_wh', nargs='+', type=int, default=[800, 800])
+    parser.add_argument('--spheric_poses', default=False, action='store_true')
+    parser.add_argument('--N_samples', type=int, default=64)
+    parser.add_argument('--N_importance', type=int, default=64)
+    parser.add_argument('--chunk', type=int, default=40960)
+    parser.add_argument('--ckpt_path', type=str, required=True)
+    parser.add_argument('--occ_mode', type=str, default='weight',
+                        choices=['sigma', 'weight'])
+    parser.add_argument('--occ_threshold', type=float, default=1.0)
+    parser.add_argument('--occ_N', type=int, default=128)
+    parser.add_argument('--occ_range', nargs='+', type=float, default=None)
+    parser.add_argument('--configs', nargs='+', type=str,
+                        default=['dense', 'cull', 'tighten', 'budgets',
+                                 'segments'],
+                        help='matrix rows (each builds on the previous: '
+                             'cull=AABB ray culling, tighten=+interval '
+                             'clipping, budgets=+per-span sample budgets, '
+                             'segments=+occupied-segment placement)')
+    parser.add_argument('--repeats', type=int, default=3)
+    parser.add_argument('--json_out', type=str, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_pl_tpu.datasets import dataset_dict
+    from nerf_pl_tpu.models import init_nerf_params
+    from nerf_pl_tpu.parallel import Trainer, make_mesh
+    from nerf_pl_tpu.rendering import (CulledRenderer, ModelConfig,
+                                       RenderConfig, load_or_build_grid,
+                                       rays_aabb)
+    from nerf_pl_tpu.training import get_optimizer, loss_dict
+    from nerf_pl_tpu.training.checkpoints import load_ckpt
+    from nerf_pl_tpu.training.metrics import psnr as psnr_fn
+
+    w, h = args.img_wh
+    kwargs = {'root_dir': args.root_dir, 'split': args.split,
+              'img_wh': tuple(args.img_wh)}
+    if args.dataset_name == 'llff':
+        kwargs['spheric_poses'] = args.spheric_poses
+    dataset = dataset_dict[args.dataset_name](**kwargs)
+    sample = dataset[args.idx]
+    rays = np.asarray(sample['rays'], np.float32)
+
+    mcfg = ModelConfig()
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    params = {"nerf_coarse": init_nerf_params(kc, mcfg.nerf),
+              "nerf_fine": init_nerf_params(kf, mcfg.nerf)}
+    params = load_ckpt(params, args.ckpt_path, "nerf_coarse")
+    params = load_ckpt(params, args.ckpt_path, "nerf_fine")
+    rcfg = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        white_back=dataset.white_back, test_time=True, fused=True)
+    typ = "fine" if args.N_importance > 0 else "coarse"
+
+    occ = None
+    if any(c != 'dense' for c in args.configs):
+        t0 = time.perf_counter()
+        occ = load_or_build_grid(
+            args.ckpt_path, params["nerf_fine"], mcfg, N=args.occ_N,
+            occ_range=args.occ_range, sigma_threshold=args.occ_threshold,
+            aabb=rays_aabb(rays), mode=args.occ_mode,
+            vis_rays=(rays if args.occ_mode == 'weight' else None))
+        print(f"[grid] {occ.n_boxes} boxes, "
+              f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
+              f"({time.perf_counter() - t0:.1f}s build/load)", flush=True)
+
+    def make_render(config):
+        if config == 'dense':
+            mesh = make_mesh(num_data=1)
+            tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
+                         lambda s: 1e-3, loss_dict["mse"], 1)
+            fn = tr.render_fn(rcfg, chunk=args.chunk)
+            return lambda r: fn(params, r)
+        cr = CulledRenderer(
+            occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
+            tighten=config in ('tighten', 'budgets', 'segments'),
+            budgets=config in ('budgets', 'segments'),
+            segments=32 if config == 'segments' else 0)
+        return lambda r: {k: np.asarray(v)
+                          for k, v in cr(params, jnp.asarray(r)).items()}
+
+    rows = []
+    dense_img = None
+    for config in args.configs:
+        render = make_render(config)
+        out = render(rays)                       # compile + reference image
+        img = np.clip(out[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
+        if config == 'dense':
+            dense_img = img
+        dts = []
+        for i in range(1, args.repeats + 1):
+            r = rays.copy()
+            r[:, :3] += i * 1e-6                 # dedupe-safe perturbation
+            t0 = time.perf_counter()
+            o = render(r)
+            np.asarray(o[f'rgb_{typ}'])          # host sync
+            dts.append(time.perf_counter() - t0)
+        row = {"config": config, "secs_frame_best": round(min(dts), 3),
+               "secs_frame_all": [round(d, 3) for d in sorted(dts)]}
+        if dense_img is not None and config != 'dense':
+            row["psnr_vs_dense"] = round(float(psnr_fn(
+                jnp.asarray(img), jnp.asarray(dense_img))), 2)
+        if 'rgbs' in sample:
+            gt = np.asarray(sample['rgbs']).reshape(h, w, 3)
+            row["psnr_vs_gt"] = round(float(psnr_fn(
+                jnp.asarray(img), jnp.asarray(gt))), 2)
+        print(f"[matrix] {row}", flush=True)
+        rows.append(row)
+
+    result = {"img_wh": [w, h], "N_samples": args.N_samples,
+              "N_importance": args.N_importance,
+              "occ_mode": args.occ_mode, "occ_N": args.occ_N,
+              "ckpt": args.ckpt_path, "repeats": args.repeats,
+              "grid_boxes": occ.n_boxes if occ is not None else None,
+              "grid_occupied_frac": (round(float(occ.occupied_fraction), 4)
+                                     if occ is not None else None),
+              "rows": rows}
+    if args.json_out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.json_out)),
+                    exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"[matrix] written to {args.json_out}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

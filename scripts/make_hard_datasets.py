@@ -6,9 +6,10 @@ and why it targets reference difficulty).
 Outputs (gitignored; regenerate with this script):
   data/hard_blender  : Blender format, 400x400, 100 train / 8 val / 25 test
   data/hard_llff     : LLFF format, 504x378, 30 forward-facing views
-  data/hard_llff_sph : LLFF format, 504x378, 30 views on a full 360-degree
-                       circle (train with --spheric_poses; reference
-                       llff.py:243-245, 299-301)
+  data/hard_llff_sph : LLFF format, 504x378, 33 views on a full 360-degree
+                       circle (train with --spheric_poses --val_num 3 so
+                       three distinct views are held out for novel-view
+                       scoring; reference llff.py:243-245, 299-301)
 Deterministic: re-running reproduces byte-identical images.
 """
 import argparse
@@ -74,7 +75,7 @@ def main():
 
         root = make_llff_scene(
             os.path.join(args.out, "hard_llff_sph"),
-            n_images=30, wh=tuple(args.llff_wh),
+            n_images=33, wh=tuple(args.llff_wh),
             cam_dist=float(np.hypot(3.5, 2.0)),
             render_fn=render_hard_scene_rgba, cam_pos_fn=sph_pos_fn,
             up=(0, 0, 1), scene_radius=1.8)

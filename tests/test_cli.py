@@ -42,13 +42,25 @@ class TestEvalCLI:
             "--scene_name", "t", "--img_wh", "20", "20",
             "--N_samples", "8", "--N_importance", "4",
             "--chunk", "256", "--ckpt_path", random_ckpt,
-            "--save_depth", "--out_dir", out])
+            "--save_depth", "--out_dir", out,
+            "--metrics_out", str(tmp_path / "m.json"), "--save_gt"])
         d = os.path.join(out, "blender", "t")
         assert os.path.exists(os.path.join(d, "000.png"))
         assert os.path.exists(os.path.join(d, "001.png"))
         assert os.path.exists(os.path.join(d, "t.gif"))
         assert os.path.exists(os.path.join(d, "depth_000.pfm"))
+        assert os.path.exists(os.path.join(d, "gt_000.png"))
         assert psnr is not None and np.isfinite(psnr)
+        # auditable metrics artifact: per-view rows reproduce the mean
+        import json
+        with open(tmp_path / "m.json") as f:
+            m = json.load(f)
+        assert len(m["per_view"]) == m["n_views"]
+        assert abs(np.mean([r["psnr"] for r in m["per_view"]])
+                   - m["mean_psnr"]) < 1e-3
+        assert abs(m["mean_psnr"] - psnr) < 1e-3
+        assert all(0.0 <= r["ssim"] <= 1.0 for r in m["per_view"])
+        assert m["flags"]["img_wh"] == [20, 20]
 
     def test_occ_grid_eval(self, scene, random_ckpt, tmp_path):
         """eval.py --occ_grid plumbing: culled path writes the same outputs."""

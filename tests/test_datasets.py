@@ -102,6 +102,20 @@ class TestLLFF:
         assert item["rays"].shape == (1200, 8)
         assert item["rgbs"].shape == (1200, 3)
 
+    def test_val_num_holds_out_distinct_views(self, llff_root):
+        """val_num > 1 = that many DISTINCT nearest-center views, all
+        excluded from training (not the reference's replication of one)."""
+        ds = LLFFDataset(llff_root, "val", (40, 30), val_num=3)
+        assert len(set(ds.image_paths_val)) == 3
+        poses = np.stack(ds.c2w_vals)
+        assert not np.allclose(poses[0], poses[1])
+        # nearest-first: val_idxs[0] is the reference's single val view
+        ds1 = LLFFDataset(llff_root, "val", (40, 30), val_num=1)
+        assert ds.val_idxs[0] == ds1.val_idxs[0]
+        # training excludes all three
+        tr = LLFFDataset(llff_root, "train", (40, 30), val_num=3)
+        assert tr.all_rays.shape == (2 * 40 * 30, 8)  # 5 images - 3 held out
+
     def test_spheric(self, llff_root):
         ds = LLFFDataset(llff_root, "train", (40, 30), spheric_poses=True)
         near = ds.bounds.min()
@@ -118,6 +132,9 @@ class TestLLFF:
     def test_test_train_split(self, llff_root):
         ds = LLFFDataset(llff_root, "test_train", (40, 30))
         assert len(ds) == 5  # all poses
+        # capture poses carry their ground truth so eval.py can score them
+        item = ds[0]
+        assert item["rgbs"].shape == (1200, 3)
 
     def test_test_split_spheric(self, llff_root):
         ds = LLFFDataset(llff_root, "test", (40, 30), spheric_poses=True)

@@ -573,6 +573,58 @@ class TestSurvivorPacking:
             validate_hparams(Hparams(occ_pack=True, occ_train=False))
 
 
+class TestMultiChipResume:
+    """Checkpoint save -> restore -> continue on a dp x tp mesh must equal
+    the uninterrupted run (VERDICT r3 #5; reference resume_from_checkpoint,
+    train.py:169). Checkpoint tests elsewhere are host-side pytrees — this
+    one proves the round-trip through npz + re-device_put preserves the
+    2D-mesh placement and the training trajectory."""
+
+    @pytest.mark.parametrize("tensor_parallel", [False, True])
+    def test_resume_continues_uninterrupted_stream(self, tmp_path,
+                                                   tensor_parallel):
+        from nerf_pl_tpu.training.checkpoints import (device_fetch,
+                                                      load_checkpoint,
+                                                      save_checkpoint)
+        rays, rgbs = make_data()
+        mesh = make_mesh(num_data=4, num_model=2)
+        ckpt = str(tmp_path / "mid.ckpt")
+
+        def run(splits, save_mid=False, restore=False):
+            tr = make_trainer(mesh, batch=256,
+                              tensor_parallel=tensor_parallel)
+            tr.set_data(rays, rgbs)
+            state = tr.init_state(jax.random.PRNGKey(0))
+            if restore:
+                restored, meta = load_checkpoint(ckpt, state)
+                state = jax.device_put(restored, jax.tree_util.tree_map(
+                    lambda x: x.sharding, state))
+                assert meta["step"] == int(state.step)
+            losses = []
+            for k in splits:
+                state, m = tr.run_steps(state, jax.random.PRNGKey(5), k)
+                losses.extend(np.asarray(m["loss"]).tolist())
+            if save_mid:
+                save_checkpoint(ckpt, device_fetch(state),
+                                {"step": int(state.step)})
+            return losses, state
+
+        full, state_full = run([8])
+        head, _ = run([4], save_mid=True)
+        tail, state_res = run([4], restore=True)
+        np.testing.assert_allclose(head + tail, full, rtol=1e-5)
+        assert int(state_res.step) == 8
+        # final params equal the uninterrupted run's
+        wf = np.asarray(state_full.params["nerf_coarse"]["xyz_0"]["w"])
+        wr = np.asarray(state_res.params["nerf_coarse"]["xyz_0"]["w"])
+        np.testing.assert_allclose(wf, wr, atol=1e-6)
+        if tensor_parallel:
+            # restored params keep their column-parallel TP sharding
+            w0 = state_res.params["nerf_coarse"]["xyz_0"]["w"]
+            shard_cols = {s.data.shape[1] for s in w0.addressable_shards}
+            assert shard_cols == {w0.shape[1] // 2}
+
+
 class TestBF16Masters:
     """init_state(master_dtype=bfloat16): experiment knob (VERDICT r2 #8) —
     the fused path must run and descend with bf16 masters + moments."""
