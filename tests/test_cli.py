@@ -77,7 +77,7 @@ class TestEvalCLI:
         assert os.path.exists(os.path.join(d, "000.png"))
         assert psnr is not None and np.isfinite(psnr)
 
-    def test_llff_spiral_no_gt(self, random_ckpt, tmp_path):
+    def test_llff_test_train_scored(self, random_ckpt, tmp_path):
         import eval as eval_cli
         root = make_llff_scene(str(tmp_path / "llff"), wh=(20, 16),
                                n_images=4)
@@ -92,7 +92,8 @@ class TestEvalCLI:
             "--ckpt_path", random_ckpt, "--out_dir", out])
         d = os.path.join(out, "llff", "sp")
         assert os.path.exists(os.path.join(d, "sp.gif"))
-        assert psnr is None  # no GT on test paths
+        # test_train poses are capture poses: GT attached, split scored
+        assert psnr is not None and np.isfinite(psnr)
 
 
 class TestRenderImageScript:
