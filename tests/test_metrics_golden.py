@@ -89,3 +89,21 @@ class TestSSIMGolden:
         a = float(jnp_ssim(jnp.asarray(pred), jnp.asarray(gt)))
         b = float(jnp_ssim(jnp.asarray(pred[0]), jnp.asarray(gt[0])))
         assert a == pytest.approx(b, abs=1e-7)
+
+    def test_conv_precision_pinned_highest(self):
+        # Regression guard for the round-4 TPU bias: XLA runs convs with
+        # bf16 inputs by default on TPU, and ssim's variance terms
+        # E[x^2]-mu^2 cancel catastrophically there (measured 0.9125
+        # on-chip vs 0.9738 exact on a 33.9 dB render). _blur must pin
+        # precision=HIGHEST; the CPU mesh can't reproduce the bias, so
+        # pin it at the jaxpr level.
+        import jax
+        pred, gt = _pair(9, noise=0.05)
+        jaxpr = jax.make_jaxpr(jnp_ssim)(jnp.asarray(pred), jnp.asarray(gt))
+        convs = [e for e in jaxpr.jaxpr.eqns
+                 if e.primitive.name == "conv_general_dilated"]
+        assert len(convs) >= 10  # 5 blurs x 2 separable passes
+        for e in convs:
+            p = e.params["precision"]
+            assert p is not None and jax.lax.Precision.HIGHEST in (
+                p if isinstance(p, tuple) else (p,)), e.params
