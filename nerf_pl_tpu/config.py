@@ -118,9 +118,9 @@ def validate_hparams(hp: Hparams) -> Hparams:
             warnings.warn(
                 "--precision bfloat16 with --fused_train selects bf16 "
                 "MASTER weights + optimizer moments (the kernels run bf16 "
-                "matmuls with f32 quadrature either way). Measured: no "
-                "step-time gain, small accuracy cost (BENCH_NOTES) — "
-                "prefer the default f32 masters", stacklevel=2)
+                "matmuls with f32 quadrature either way). Measured on-chip: "
+                "zero step-time gain (BENCH_NOTES round-4 A/B) — prefer "
+                "the default f32 masters", stacklevel=2)
     if hp.fused_train and hp.loss_type != "mse":
         warnings.warn(
             f"--loss_type {hp.loss_type}: the single-kernel loss-fused "
