@@ -572,8 +572,30 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
 
 # ------------------------------------------------------------------ culling
 
+# Box loops below this count unroll into one fused elementwise chain; a
+# lax.scan's (R,)-shaped carries round-trip HBM EVERY iteration (measured
+# 0.4s of a 1.4s 800x800 culled frame on 50 boxes x 640k rays), while the
+# unrolled chain fuses into a single kernel that keeps them in registers.
+_UNROLL_BOXES = 128
+
+
+def _box_slab(box, o, inv, near, far):
+    """One box's slab test against all rays: (valid, tmin, tmax), each (R,)."""
+    t1 = (box[0:3] - o) * inv
+    t2 = (box[3:6] - o) * inv
+    tmin = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), near)
+    tmax = jnp.minimum(jnp.min(jnp.maximum(t1, t2), axis=-1), far)
+    return tmax >= tmin, tmin, tmax
+
+
+def _inv_dirs(d):
+    eps = 1e-12
+    return 1.0 / jnp.where(jnp.abs(d) < eps,
+                           jnp.where(d < 0, -eps, eps), d)
+
+
 def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
-    """Slab-test every ray against every AABB; no gathers, scan over boxes.
+    """Slab-test every ray against every AABB; no gathers.
 
     Args:
       boxes: (K, 6) AABBs.  rays: (R, 8).
@@ -581,21 +603,18 @@ def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
     Returns (hit (R,) bool, t_lo (R,), t_hi (R,)): whether any box overlaps
     the ray's [near, far], and the union interval of all overlaps (clamped
     to [near, far]; t_lo > t_hi when no hit).
+
+    The box loop is unrolled (fully fused, carries stay on-core) up to
+    _UNROLL_BOXES boxes; beyond that it falls back to a lax.scan to bound
+    program size.
     """
     o, d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6], rays[:, 7]
-    eps = 1e-12
-    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    inv = _inv_dirs(d)
 
     def body(carry, box):
         hit, tlo, thi = carry
-        t1 = (box[0:3] - o) * inv                      # (R, 3)
-        t2 = (box[3:6] - o) * inv
-        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        tmin = jnp.maximum(tmin, near)
-        tmax = jnp.minimum(tmax, far)
-        valid = tmax >= tmin
+        valid, tmin, tmax = _box_slab(box, o, inv, near, far)
         hit = hit | valid
         tlo = jnp.where(valid, jnp.minimum(tlo, tmin), tlo)
         thi = jnp.where(valid, jnp.maximum(thi, tmax), thi)
@@ -603,8 +622,34 @@ def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
 
     init = (jnp.zeros(rays.shape[0], bool), jnp.full_like(near, jnp.inf),
             jnp.full_like(near, -jnp.inf))
+    if boxes.shape[0] <= _UNROLL_BOXES:
+        carry = init
+        for k in range(boxes.shape[0]):
+            carry, _ = body(carry, boxes[k])
+        return carry
     (hit, tlo, thi), _ = jax.lax.scan(body, init, boxes)
     return hit, tlo, thi
+
+
+def stable_counting_argsort(key: jnp.ndarray, n_keys: int) -> jnp.ndarray:
+    """Stable argsort of int keys drawn from a tiny alphabet [0, n_keys).
+
+    jnp.argsort(stable=True) lowers to a full O(R log R) device sort
+    (~100 ms at 640k rays); with <= a handful of distinct bucket keys the
+    same permutation is n_keys fused cumsums plus ONE scatter:
+      rank_i = start(key_i) + |{j < i : key_j = key_i}|
+      order[rank] = iota.
+    """
+    R = key.shape[0]
+    rank = jnp.zeros(R, jnp.int32)
+    start = jnp.int32(0)
+    for v in range(n_keys):
+        is_v = (key == v)
+        within = jnp.cumsum(is_v.astype(jnp.int32)) - is_v.astype(jnp.int32)
+        rank = jnp.where(is_v, start + within, rank)
+        start = start + jnp.sum(is_v.astype(jnp.int32))
+    return jnp.zeros(R, jnp.int32).at[rank].set(
+        jnp.arange(R, dtype=jnp.int32))
 
 
 def ray_box_segment_bits(boxes: jnp.ndarray, rays: jnp.ndarray,
@@ -633,21 +678,21 @@ def ray_box_segment_bits(boxes: jnp.ndarray, rays: jnp.ndarray,
     seg = jnp.arange(n_seg, dtype=rays.dtype)
     seg_start = near[:, None] + seg * h[:, None]           # (R, S)
     seg_end = seg_start + h[:, None]
-    eps = 1e-12
-    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    inv = _inv_dirs(d)
 
     def body(bits, box):
-        t1 = (box[0:3] - o) * inv
-        t2 = (box[3:6] - o) * inv
-        tmin = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1), near)
-        tmax = jnp.minimum(jnp.min(jnp.maximum(t1, t2), axis=-1), far)
-        valid = tmax >= tmin
+        valid, tmin, tmax = _box_slab(box, o, inv, near, far)
         ov = ((tmin[:, None] < seg_end) & (tmax[:, None] > seg_start)
               & valid[:, None])
         return bits | ov, None
 
     init = jnp.zeros((rays.shape[0], n_seg), bool)
-    bits, _ = jax.lax.scan(body, init, boxes)
+    if boxes.shape[0] <= _UNROLL_BOXES:
+        bits = init
+        for k in range(boxes.shape[0]):
+            bits, _ = body(bits, boxes[k])
+    else:
+        bits, _ = jax.lax.scan(body, init, boxes)
     miss = ~jnp.any(bits, axis=-1)
     bits = bits | miss[:, None]
     shifts = jnp.arange(n_seg, dtype=jnp.uint32)
@@ -728,7 +773,8 @@ class CulledRenderer:
                  mcfg: ModelConfig = ModelConfig(), chunk: int = 20480,
                  tighten: bool = False, tighten_margin: float = 0.05,
                  mesh=None, budgets: bool = False, segments: int = 0,
-                 segment_dilate: int = 1):
+                 segment_dilate: int = 1,
+                 bucket_fracs: Optional[Tuple[float, ...]] = None):
         if occ.n_boxes == 0:
             raise ValueError("occupancy grid is empty — threshold too high?")
         if budgets and not tighten:
@@ -739,6 +785,13 @@ class CulledRenderer:
                              "computed over the tightened interval)")
         if not 0 <= segments <= 32:
             raise ValueError(f"segments={segments} must be in [0, 32]")
+        if bucket_fracs is not None:
+            fracs = tuple(sorted(float(f) for f in bucket_fracs))
+            if not fracs or fracs[-1] != 1.0 or fracs[0] <= 0:
+                raise ValueError(
+                    f"bucket_fracs={bucket_fracs} must be positive and end "
+                    "at 1.0 (the full-span bucket)")
+            self._BUCKET_FRACS = fracs
         self.boxes = jnp.asarray(occ.boxes)
         self.rcfg = rcfg
         self.mcfg = mcfg
@@ -754,14 +807,20 @@ class CulledRenderer:
         self._cull = None
 
     def _cull_fn(self):
+        """Jitted cull pass. Takes a static ``pad_rows``: the sorted
+        outputs come back padded to R + pad_rows rows inside the SAME
+        program (padding used to be 3 eager jnp.concatenate dispatches per
+        frame on the host). Padded ray rows duplicate the last sorted ray;
+        padded order entries point at row R (the bucketed path's dump
+        slot — the uniform path never scatters them: it slices [:R])."""
         if self._cull is not None:
             return self._cull
         tighten, margin = self.tighten, self.margin
         budgets, fracs = self.budgets, self._BUCKET_FRACS
         n_seg, dilate = self.segments, self.segment_dilate
 
-        @jax.jit
-        def cull(boxes, rays):
+        @functools.partial(jax.jit, static_argnames=("pad_rows",))
+        def cull(boxes, rays, pad_rows=0):
             hit, tlo, thi = ray_box_hits(boxes, rays)
             near0, far0 = rays[:, 6], rays[:, 7]
             if tighten:
@@ -797,9 +856,20 @@ class CulledRenderer:
             else:
                 key = (~hit).astype(jnp.int32)         # survivors first
                 counts = jnp.sum(hit.astype(jnp.int32))[None]
-            order = jnp.argsort(key, stable=True)
+            n_keys = (len(fracs) + 1) if budgets else 2
+            order = stable_counting_argsort(key, n_keys)
             rays_sorted = jnp.take(rays, order, axis=0)
             occm_sorted = jnp.take(occm, order, axis=0)
+            if pad_rows:
+                R = rays.shape[0]
+                rays_sorted = jnp.concatenate(
+                    [rays_sorted,
+                     jnp.broadcast_to(rays_sorted[-1:], (pad_rows, 8))], 0)
+                occm_sorted = jnp.concatenate(
+                    [occm_sorted,
+                     jnp.broadcast_to(occm_sorted[-1:], (pad_rows,))], 0)
+                order = jnp.concatenate(
+                    [order, jnp.full((pad_rows,), R, order.dtype)], 0)
             return rays_sorted, occm_sorted, order, counts
 
         self._cull = cull
@@ -862,13 +932,19 @@ class CulledRenderer:
 
     def _rcfg_for_frac(self, frac: float) -> RenderConfig:
         """Scaled-sample config for a span bucket (floors keep tiny spans
-        from degenerating; density only ever increases)."""
+        from degenerating; density only ever increases).
+
+        The floor is 8, not 16: a ray lands in bucket `frac` only when its
+        occupied length is <= frac of its full span, so even at the floor
+        its per-occupied-unit sample density is >= the dense render's
+        (8 samples on <=1/8 of the span == 64 on the whole span); the fine
+        pass re-concentrates via the coarse PDF on top of that."""
         if frac >= 1.0:
             return self.rcfg
-        N_s = max(int(self.rcfg.N_samples * frac), 16)
+        N_s = max(int(self.rcfg.N_samples * frac), 8)
         N_i = self.rcfg.N_importance
         if N_i > 0:
-            N_i = max(int(N_i * frac), 16)
+            N_i = max(int(N_i * frac), 8)
         return dataclasses.replace(self.rcfg, N_samples=N_s,
                                    N_importance=N_i)
 
@@ -929,49 +1005,39 @@ class CulledRenderer:
         """Render (R, 8) rays -> dict of (R, ...) arrays (device)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        import os as _os
+        import time as _time
+        timing = bool(_os.environ.get("NERF_OCC_TIMING"))
+        t0 = _time.perf_counter()
         R = rays.shape[0]
         rays = jnp.asarray(rays)
-        rays_sorted, occm_sorted, order, counts = self._cull_fn()(
-            self.boxes, rays)
-        counts_h = np.asarray(counts)                   # one readback
-        n = int(counts_h.sum())                         # survivors
         chunk = self._chunk_for(R)
         cap_tiles = -(-R // chunk)                      # all rays survive
+        # worst-case pad: every ray survives and tiles round up to gran
+        gran = max(2, self.n_data) if self.budgets else max(1, self.n_data)
+        pad_rows = (-(-cap_tiles // gran) * gran) * chunk
+        rays_sorted, occm_sorted, order, counts = self._cull_fn()(
+            self.boxes, rays, pad_rows=pad_rows)
+        counts_h = np.asarray(counts)                   # one readback
+        if timing:
+            print(f"[occ-timing] cull+readback: "
+                  f"{_time.perf_counter() - t0:.3f}s", flush=True)
+        n = int(counts_h.sum())                         # survivors
 
         if not self.budgets:
             n_tiles = self._round_tiles(max(n, 1), cap_tiles, chunk)
-            # pad the sorted rays so n_tiles*chunk rows always exist;
-            # padded rows duplicate the last real ray (rendered, dropped)
-            total = n_tiles * chunk
-            if total > R:
-                rays_sorted = jnp.concatenate(
-                    [rays_sorted,
-                     jnp.broadcast_to(rays_sorted[-1:], (total - R, 8))], 0)
-                occm_sorted = jnp.concatenate(
-                    [occm_sorted,
-                     jnp.broadcast_to(occm_sorted[-1:], (total - R,))], 0)
             out = self._program(n_tiles, R, chunk)(params, rays_sorted,
                                                    occm_sorted, order, key)
             if return_stats:
                 return out, {"n_rays": R, "n_survivors": n,
-                             "n_rendered": total,
+                             "n_rendered": n_tiles * chunk,
                              "n_boxes": self.boxes.shape[0]}
             return out
 
         # ---- budgets: one program per non-empty span bucket, chained ----
-        # pad once so every bucket's dynamic slice (start <= R plus up to
-        # the gran-rounded cap of tiles) stays in bounds; padded order
-        # entries point at the dump row
-        gran = max(2, self.n_data)
-        pad_rows = (-(-cap_tiles // gran) * gran) * chunk
-        rays_sorted = jnp.concatenate(
-            [rays_sorted,
-             jnp.broadcast_to(rays_sorted[-1:], (pad_rows, 8))], 0)
-        occm_sorted = jnp.concatenate(
-            [occm_sorted,
-             jnp.broadcast_to(occm_sorted[-1:], (pad_rows,))], 0)
-        order = jnp.concatenate(
-            [order, jnp.full((pad_rows,), R, order.dtype)], 0)
+        # (the cull program already padded the sorted arrays so every
+        # bucket's dynamic slice stays in bounds; padded order entries
+        # point at the dump row)
         typ, img = self._background(R + 1)   # row R = spillover dump slot
         starts = np.concatenate([[0], np.cumsum(counts_h)])
         rendered = 0
@@ -981,10 +1047,17 @@ class CulledRenderer:
                 continue
             n_tiles = self._round_tiles(n_b, cap_tiles, chunk)
             rendered += n_tiles * chunk
+            if timing:
+                tb = _time.perf_counter()
             img = self._bucket_program(n_tiles, R, frac, chunk)(
                 params, rays_sorted, occm_sorted, order,
                 jnp.asarray(int(starts[b]), jnp.int32),
                 jnp.asarray(n_b, jnp.int32), img, key)
+            if timing:
+                jax.block_until_ready(img[f"rgb_{typ}"])
+                print(f"[occ-timing] bucket frac={frac} rows={n_b} "
+                      f"tiles={n_tiles} ({n_tiles * chunk} rendered): "
+                      f"{_time.perf_counter() - tb:.3f}s", flush=True)
         out = {k: v[:R] for k, v in img.items()}
         if return_stats:
             return out, {"n_rays": R, "n_survivors": n,

@@ -53,6 +53,12 @@ def main(argv=None):
                              'cull=AABB ray culling, tighten=+interval '
                              'clipping, budgets=+per-span sample budgets, '
                              'segments=+occupied-segment placement)')
+    parser.add_argument('--bucket_fracs', nargs='+', type=float,
+                        default=None,
+                        help='override the budgeted path\'s span-bucket '
+                             'sample fractions (must end at 1.0); e.g. '
+                             '0.125 0.25 0.5 1.0 adds a cheaper bucket '
+                             'for very sparse rays')
     parser.add_argument('--repeats', type=int, default=3)
     parser.add_argument('--json_out', type=str, default=None)
     args = parser.parse_args(argv)
@@ -102,6 +108,8 @@ def main(argv=None):
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
               f"({time.perf_counter() - t0:.1f}s build/load)", flush=True)
 
+    stats_box = {}
+
     def make_render(config):
         if config == 'dense':
             mesh = make_mesh(num_data=1)
@@ -113,16 +121,21 @@ def main(argv=None):
             occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
             tighten=config in ('tighten', 'budgets', 'segments'),
             budgets=config in ('budgets', 'segments'),
-            segments=32 if config == 'segments' else 0)
-        return lambda r: {k: np.asarray(v)
-                          for k, v in cr(params, jnp.asarray(r)).items()}
+            segments=32 if config == 'segments' else 0,
+            bucket_fracs=args.bucket_fracs)
+
+        def render(r):
+            out, st = cr(params, jnp.asarray(r), return_stats=True)
+            stats_box[config] = st
+            return out
+        return render
 
     rows = []
     dense_img = None
     for config in args.configs:
         render = make_render(config)
         out = render(rays)                       # compile + reference image
-        img = np.clip(out[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
+        img = np.clip(np.asarray(out[f'rgb_{typ}']).reshape(h, w, 3), 0, 1)
         if config == 'dense':
             dense_img = img
         dts = []
@@ -131,10 +144,22 @@ def main(argv=None):
             r[:, :3] += i * 1e-6                 # dedupe-safe perturbation
             t0 = time.perf_counter()
             o = render(r)
-            np.asarray(o[f'rgb_{typ}'])          # host sync
+            # Sync on COMPLETION, not on transfer: the axon tunnel moves
+            # device->host bytes at ~20-35 MB/s (measured), so np.asarray
+            # of a 7.7 MB image would charge ~0.3 s of tunnel artifact to
+            # the render. block_until_ready waits for the device compute
+            # only — the honest secs/frame for an image that stays on
+            # device (writing it out is I/O, benched separately by eval).
+            jax.block_until_ready(o[f'rgb_{typ}'])
             dts.append(time.perf_counter() - t0)
         row = {"config": config, "secs_frame_best": round(min(dts), 3),
                "secs_frame_all": [round(d, 3) for d in sorted(dts)]}
+        if config in stats_box:
+            st = stats_box[config]
+            row["n_survivors"] = int(st["n_survivors"])
+            row["n_rendered"] = int(st["n_rendered"])
+            if "bucket_counts" in st:
+                row["bucket_counts"] = [int(c) for c in st["bucket_counts"]]
         if dense_img is not None and config != 'dense':
             row["psnr_vs_dense"] = round(float(psnr_fn(
                 jnp.asarray(img), jnp.asarray(dense_img))), 2)

@@ -63,6 +63,34 @@ class TestRayBoxHits:
         np.testing.assert_allclose(np.asarray(tlo)[m], bf_tlo[m], rtol=1e-4)
         np.testing.assert_allclose(np.asarray(thi)[m], bf_thi[m], rtol=1e-4)
 
+    def test_scan_fallback_matches_unrolled(self, rng):
+        """>_UNROLL_BOXES boxes takes the lax.scan path; both paths must
+        agree exactly (same math, different scheduling)."""
+        from nerf_pl_tpu.rendering import occupancy as occ_mod
+        boxes = []
+        for _ in range(7):
+            lo = rng.uniform(-2, 1.5, 3)
+            boxes.append(np.concatenate([lo, lo + rng.uniform(0.1, 1.0, 3)]))
+        boxes = jnp.asarray(np.asarray(boxes, np.float32))
+        R = 256
+        o = rng.normal(size=(R, 3)).astype(np.float32) * 3
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        rays = jnp.asarray(np.concatenate(
+            [o, d, np.full((R, 1), 0.1, np.float32),
+             np.full((R, 1), 8.0, np.float32)], 1))
+        unrolled = ray_box_hits(boxes, rays)
+        orig = occ_mod._UNROLL_BOXES
+        try:
+            occ_mod._UNROLL_BOXES = 0
+            scanned = ray_box_hits(boxes, rays)
+            bits_s = occ_mod.ray_box_segment_bits(boxes, rays, 16)
+        finally:
+            occ_mod._UNROLL_BOXES = orig
+        bits_u = occ_mod.ray_box_segment_bits(boxes, rays, 16)
+        for a, b in zip(unrolled, scanned):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(bits_u), np.asarray(bits_s))
+
     def test_axis_aligned_ray(self):
         boxes = jnp.asarray([[-1, -1, -1, 1, 1, 1]], jnp.float32)
         rays = jnp.asarray([[0, 0, -5, 0, 0, 1, 0.1, 10.0],   # through
@@ -73,6 +101,22 @@ class TestRayBoxHits:
         assert list(np.asarray(hit)) == [True, False, False]
         np.testing.assert_allclose(float(tlo[0]), 4.0, atol=1e-5)
         np.testing.assert_allclose(float(thi[0]), 6.0, atol=1e-5)
+
+
+class TestStableCountingArgsort:
+    def test_matches_jnp_stable_argsort(self, rng):
+        from nerf_pl_tpu.rendering.occupancy import stable_counting_argsort
+        for n_keys in (2, 4, 5):
+            key = jnp.asarray(rng.integers(0, n_keys, 1000), jnp.int32)
+            got = np.asarray(stable_counting_argsort(key, n_keys))
+            want = np.asarray(jnp.argsort(key, stable=True))
+            np.testing.assert_array_equal(got, want)
+
+    def test_single_key_is_identity(self):
+        from nerf_pl_tpu.rendering.occupancy import stable_counting_argsort
+        key = jnp.zeros(17, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(stable_counting_argsort(key, 1)), np.arange(17))
 
 
 class TestBoxBuilding:
@@ -477,6 +521,32 @@ class TestBudgetedRenderer:
         mcfg, params, occ, rays, rcfg = self._setup()
         with pytest.raises(ValueError, match="tighten"):
             CulledRenderer(occ, rcfg, mcfg, budgets=True)
+
+    def test_custom_bucket_fracs(self):
+        """A 4-bucket ladder (extra 0.125 tier) renders survivors to the
+        same values as the default 3-bucket one within budget tolerance,
+        and bucket counts cover all survivors."""
+        mcfg, params, occ, rays, rcfg = self._setup()
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True,
+                            budgets=True,
+                            bucket_fracs=(0.125, 0.25, 0.5, 1.0))
+        out, st = cr(params, jnp.asarray(rays), return_stats=True)
+        assert len(st["bucket_counts"]) == 4
+        assert sum(st["bucket_counts"]) == st["n_survivors"]
+        cr_ref = CulledRenderer(occ, rcfg, mcfg, chunk=100, tighten=True,
+                                budgets=True)
+        ref, _ = cr_ref(params, jnp.asarray(rays), return_stats=True)
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(rays))[0])
+        for k in out:
+            a, b = np.asarray(out[k])[hit], np.asarray(ref[k])[hit]
+            assert np.mean((a - b) ** 2) < 1e-3, (k, np.mean((a - b) ** 2))
+
+    def test_bucket_fracs_must_end_at_one(self):
+        mcfg, params, occ, rays, rcfg = self._setup()
+        with pytest.raises(ValueError, match="bucket_fracs"):
+            CulledRenderer(occ, rcfg, mcfg, tighten=True, budgets=True,
+                           bucket_fracs=(0.25, 0.5))
 
 
 class TestSegmentBits:
