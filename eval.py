@@ -100,6 +100,12 @@ def get_opts(argv=None):
                              'empty gaps; with --occ_budgets, buckets key '
                              'on occupied length instead of span. '
                              '0 = off')
+    parser.add_argument('--occ_bucket_fracs', nargs='+', type=float,
+                        default=None,
+                        help='override the budgeted span-bucket sample '
+                             'fractions (ascending, must end at 1.0); '
+                             'e.g. 0.125 0.25 0.5 1.0 adds a cheaper '
+                             'tier for very sparse rays')
     parser.add_argument('--metrics_out', type=str, default=None,
                         help='write per-view PSNR/SSIM + the full flag set '
                              'as JSON to this path (auditable accuracy '
@@ -205,7 +211,9 @@ def main(argv=None):
                             tighten=(args.occ_tighten or args.occ_budgets
                                      or args.occ_segments > 0),
                             budgets=args.occ_budgets, mesh=mesh,
-                            segments=args.occ_segments)
+                            segments=args.occ_segments,
+                            bucket_fracs=(tuple(args.occ_bucket_fracs)
+                                          if args.occ_bucket_fracs else None))
 
         def render(params, rays):
             out = cr(params, jnp.asarray(rays))

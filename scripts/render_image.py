@@ -66,6 +66,12 @@ def main(argv=None):
                         help='per-ray occupied-segment mask bits (<=32): '
                              'samples concentrate in occupied segments, '
                              'skipping interior empty gaps; 0 = off')
+    parser.add_argument('--occ_bucket_fracs', nargs='+', type=float,
+                        default=None,
+                        help='override the budgeted span-bucket sample '
+                             'fractions (ascending, must end at 1.0); '
+                             'e.g. 0.125 0.25 0.5 1.0 adds a cheaper '
+                             'tier for very sparse rays')
     parser.add_argument('--out_dir', type=str, default='.')
     args = parser.parse_args(argv)
 
@@ -122,7 +128,9 @@ def main(argv=None):
                             tighten=(args.occ_tighten or args.occ_budgets
                                      or args.occ_segments > 0),
                             budgets=args.occ_budgets,
-                            segments=args.occ_segments)
+                            segments=args.occ_segments,
+                            bucket_fracs=(tuple(args.occ_bucket_fracs)
+                                          if args.occ_bucket_fracs else None))
 
         def render(params, rays):
             out, stats = cr(params, jnp.asarray(rays), return_stats=True)

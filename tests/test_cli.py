@@ -77,6 +77,23 @@ class TestEvalCLI:
         assert os.path.exists(os.path.join(d, "000.png"))
         assert psnr is not None and np.isfinite(psnr)
 
+    def test_occ_bucket_fracs_eval(self, scene, random_ckpt, tmp_path):
+        """--occ_bucket_fracs reaches the budgeted renderer (4-tier)."""
+        import eval as eval_cli
+        out = str(tmp_path / "results_bf")
+        psnr = eval_cli.main([
+            "--root_dir", scene, "--dataset_name", "blender",
+            "--scene_name", "bf", "--img_wh", "20", "20",
+            "--N_samples", "8", "--N_importance", "4",
+            "--chunk", "128", "--ckpt_path", random_ckpt,
+            "--occ_grid", "--occ_threshold", "-100", "--occ_N", "16",
+            "--occ_budgets", "--occ_segments", "8",
+            "--occ_bucket_fracs", "0.125", "0.25", "0.5", "1.0",
+            "--out_dir", out])
+        d = os.path.join(out, "blender", "bf")
+        assert os.path.exists(os.path.join(d, "000.png"))
+        assert psnr is not None and np.isfinite(psnr)
+
     def test_llff_test_train_scored(self, random_ckpt, tmp_path):
         import eval as eval_cli
         root = make_llff_scene(str(tmp_path / "llff"), wh=(20, 16),
