@@ -577,6 +577,17 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
 # 0.4s of a 1.4s 800x800 culled frame on 50 boxes x 640k rays), while the
 # unrolled chain fuses into a single kernel that keeps them in registers.
 _UNROLL_BOXES = 128
+# ...but only up to this many rays: on the multi-million-ray training
+# store XLA's fusion of the unrolled chain materializes per-box (R,)
+# temps (observed: 16M-ray tighten_store compile OOM with 61 MB HLO
+# temps per box), while the scan stays flat in memory. Render-scale ray
+# counts (an 800x800 image is 640k) stay comfortably under this.
+_UNROLL_MAX_RAYS = 2_000_000
+
+
+def _unroll_ok(boxes: jnp.ndarray, rays: jnp.ndarray) -> bool:
+    return (boxes.shape[0] <= _UNROLL_BOXES
+            and rays.shape[0] <= _UNROLL_MAX_RAYS)
 
 
 def _box_slab(box, o, inv, near, far):
@@ -622,7 +633,7 @@ def ray_box_hits(boxes: jnp.ndarray, rays: jnp.ndarray):
 
     init = (jnp.zeros(rays.shape[0], bool), jnp.full_like(near, jnp.inf),
             jnp.full_like(near, -jnp.inf))
-    if boxes.shape[0] <= _UNROLL_BOXES:
+    if _unroll_ok(boxes, rays):
         carry = init
         for k in range(boxes.shape[0]):
             carry, _ = body(carry, boxes[k])
@@ -687,7 +698,7 @@ def ray_box_segment_bits(boxes: jnp.ndarray, rays: jnp.ndarray,
         return bits | ov, None
 
     init = jnp.zeros((rays.shape[0], n_seg), bool)
-    if boxes.shape[0] <= _UNROLL_BOXES:
+    if _unroll_ok(boxes, rays):
         bits = init
         for k in range(boxes.shape[0]):
             bits, _ = body(bits, boxes[k])
