@@ -5,12 +5,14 @@ Measures rays/sec/chip for the headline Blender recipe (batch 1024,
 N_importance 64 fine, full 8x256 MLPs, perturb + sigma noise) — the
 per-step work of the reference's lego benchmark (README.md:136-142:
 0.12 s/step at batch 1024 on an RTX 2080 Ti, i.e. 8,533 rays/s, the
-vs_baseline denominator). The default config is the production culled48
-recipe (48 coarse samples placed in occupied segments instead of 64
-uniform); it is accuracy-gated against dense on the 25-view hard400
-test split — 34.64 dB vs dense 33.89 dB (docs/parity/hard400_c48) —
-so its speedup is free. `--config dense` benches the uniform-sampling
-step for like-for-like comparison with rounds 1-3.
+vs_baseline denominator). The default config is the culled32 recipe
+(32 coarse samples placed in occupied segments instead of 64 uniform):
+both culled recipes are accuracy-gated ABOVE dense on the 25-view
+hard400 test split — culled32 34.49 dB / culled48 34.64 dB vs dense
+33.89 dB (docs/parity/hard400_{c32,c48}) — so the speedup is free;
+culled48 trades ~18% throughput for the highest accuracy. `--config
+dense` benches the uniform-sampling step for like-for-like comparison
+with rounds 1-3.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,15 +34,17 @@ def main():
     from nerf_pl_tpu.training import get_lr_schedule, get_optimizer, loss_dict
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="culled48",
+    ap.add_argument("--config", default="culled32",
                     choices=["dense", "culled48", "culled32"],
                     help="dense = reference flagship (64+64). culledN = "
                          "occupancy-tightened training step (N coarse "
                          "samples placed in occupied segments + 64 fine). "
-                         "culled48 is the default: accuracy-gated ABOVE "
+                         "Both culled recipes are accuracy-gated ABOVE "
                          "dense on the 25-view hard400 test split "
-                         "(34.64 vs 33.89 dB, docs/parity/hard400_c48) "
-                         "at 1.18x dense step throughput")
+                         "(culled32 34.49 / culled48 34.64 vs dense "
+                         "33.89 dB, docs/parity/hard400_{c32,c48}); "
+                         "culled32 (default) is 1.44x dense step "
+                         "throughput, culled48 1.18x at peak accuracy")
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"],
                     help="master-weight/moment dtype (kernels compute bf16 "
