@@ -141,7 +141,7 @@ def main(argv=None):
                         f" (fracs {list(cr._BUCKET_FRACS)}),"
                         f" rendered {stats['n_rendered']}")
             print(msg)
-            return {k: np.asarray(v) for k, v in out.items()}
+            return out
     else:
         mesh = make_mesh(num_data=1)
         tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
@@ -150,17 +150,27 @@ def main(argv=None):
 
     # First render compiles; the second measures steady-state secs/frame
     # (the reference's torch.cuda.synchronize timing, test.ipynb cell 3).
+    # The timed repeat perturbs ray origins by 1e-6 (the axon relay
+    # dedupes repeated identical (program, args) executions) and syncs on
+    # COMPUTE completion, not device->host transfer (the tunnel moves
+    # ~25 MB/s; a real host's PCIe link does not, so charging the
+    # transfer would misstate the render — see BENCH_NOTES round 4).
+    typ = "fine" if args.N_importance > 0 else "coarse"
     results = render(params, sample['rays'])
+    jax.block_until_ready(results[f'rgb_{typ}'])
+    rays_t = np.asarray(sample['rays'], np.float32).copy()
+    rays_t[:, :3] += 1e-6
     t0 = time.perf_counter()
-    results = render(params, sample['rays'])
+    results = render(params, rays_t)
+    jax.block_until_ready(results[f'rgb_{typ}'])
     dt = time.perf_counter() - t0
 
-    typ = "fine" if args.N_importance > 0 else "coarse"
-    img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
+    img_pred = np.clip(np.asarray(results[f'rgb_{typ}']).reshape(h, w, 3),
+                       0, 1)
     os.makedirs(args.out_dir, exist_ok=True)
     Image.fromarray((img_pred * 255).astype(np.uint8)).save(
         os.path.join(args.out_dir, f'render_{args.idx:03d}.png'))
-    depth = visualize_depth(results[f'depth_{typ}'].reshape(h, w))
+    depth = visualize_depth(np.asarray(results[f'depth_{typ}']).reshape(h, w))
     Image.fromarray((depth.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
         os.path.join(args.out_dir, f'depth_{args.idx:03d}.png'))
 
