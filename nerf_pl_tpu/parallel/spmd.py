@@ -589,12 +589,17 @@ class Trainer:
         return state, metrics
 
     # -------------------------------------------------------------- render
-    def render_fn(self, rcfg: RenderConfig, chunk: int) -> Callable:
+    def render_fn(self, rcfg: RenderConfig, chunk: int,
+                  device_out: bool = False) -> Callable:
         """Jitted sharded full-image renderer for a given static config.
 
         Input rays are padded+tiled to (n_data * T, chunk, 8); each device
-        lax.map's over its T tiles. Cached per (rcfg, chunk)."""
-        cache_key = (rcfg, chunk)
+        lax.map's over its T tiles. Cached per (rcfg, chunk, device_out).
+
+        device_out=True keeps outputs as device arrays (no host transfer)
+        so callers timing the render can sync on compute completion
+        symmetrically with the CulledRenderer path (ADVICE round 4)."""
+        cache_key = (rcfg, chunk, device_out)
         if cache_key in self._render_cache:
             return self._render_cache[cache_key]
 
@@ -628,6 +633,9 @@ class Trainer:
                 rays_p[R:, 7] = 1.0
             tiles = rays_p.reshape(-1, chunk, 8)
             out = jitted(params, tiles, key)
+            if device_out:
+                return {k: v.reshape((-1,) + v.shape[2:])[:R]
+                        for k, v in out.items()}
             return {k: np.asarray(v.reshape((-1,) + v.shape[2:])[:R])
                     for k, v in out.items()}
 

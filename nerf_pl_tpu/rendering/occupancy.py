@@ -797,7 +797,14 @@ class CulledRenderer:
         if not 0 <= segments <= 32:
             raise ValueError(f"segments={segments} must be in [0, 32]")
         if bucket_fracs is not None:
-            fracs = tuple(sorted(float(f) for f in bucket_fracs))
+            if not budgets:
+                raise ValueError("bucket_fracs is only meaningful with "
+                                 "budgets=True (it parameterizes the "
+                                 "budgeted span buckets)")
+            # normalize: input order is irrelevant (we sort ascending);
+            # duplicates would create permanently-empty buckets and a
+            # misleading bucket_counts length, so deduplicate.
+            fracs = tuple(sorted({float(f) for f in bucket_fracs}))
             if not fracs or fracs[-1] != 1.0 or fracs[0] <= 0:
                 raise ValueError(
                     f"bucket_fracs={bucket_fracs} must be positive and end "

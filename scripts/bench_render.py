@@ -115,14 +115,19 @@ def main(argv=None):
             mesh = make_mesh(num_data=1)
             tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
                          lambda s: 1e-3, loss_dict["mse"], 1)
-            fn = tr.render_fn(rcfg, chunk=args.chunk)
+            # device_out: dense must stay on device like the culled path,
+            # else the timed loop charges dense ~25 MB of device->host
+            # tunnel transfer the culled configs don't pay (ADVICE r4).
+            fn = tr.render_fn(rcfg, chunk=args.chunk, device_out=True)
             return lambda r: fn(params, r)
+        budgeted = config in ('budgets', 'segments')
         cr = CulledRenderer(
             occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
             tighten=config in ('tighten', 'budgets', 'segments'),
-            budgets=config in ('budgets', 'segments'),
+            budgets=budgeted,
             segments=32 if config == 'segments' else 0,
-            bucket_fracs=args.bucket_fracs)
+            bucket_fracs=(tuple(args.bucket_fracs)
+                          if args.bucket_fracs and budgeted else None))
 
         def render(r):
             out, st = cr(params, jnp.asarray(r), return_stats=True)

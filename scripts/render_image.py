@@ -146,7 +146,11 @@ def main(argv=None):
         mesh = make_mesh(num_data=1)
         tr = Trainer(mesh, mcfg, rcfg, get_optimizer("adam", 1e-3),
                      lambda s: 1e-3, loss_dict["mse"], 1)
-        render = tr.render_fn(rcfg, chunk=args.chunk)
+        # device_out: keep outputs on device so the timed repeat syncs on
+        # compute completion, symmetric with the --occ_grid branch
+        # (otherwise np.asarray inside render charges the host transfer
+        # and block_until_ready below is a no-op — ADVICE round 4).
+        render = tr.render_fn(rcfg, chunk=args.chunk, device_out=True)
 
     # First render compiles; the second measures steady-state secs/frame
     # (the reference's torch.cuda.synchronize timing, test.ipynb cell 3).

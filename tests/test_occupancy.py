@@ -548,6 +548,21 @@ class TestBudgetedRenderer:
             CulledRenderer(occ, rcfg, mcfg, tighten=True, budgets=True,
                            bucket_fracs=(0.25, 0.5))
 
+    def test_bucket_fracs_require_budgets(self):
+        """bucket_fracs without budgets=True is a silent no-op -> reject."""
+        mcfg, params, occ, rays, rcfg = self._setup()
+        with pytest.raises(ValueError, match="budgets"):
+            CulledRenderer(occ, rcfg, mcfg, tighten=True,
+                           bucket_fracs=(0.25, 0.5, 1.0))
+
+    def test_bucket_fracs_deduplicated(self):
+        """Duplicate fracs would create permanently-empty buckets; the
+        constructor normalizes (sort + dedupe) instead."""
+        mcfg, params, occ, rays, rcfg = self._setup()
+        cr = CulledRenderer(occ, rcfg, mcfg, tighten=True, budgets=True,
+                            bucket_fracs=(0.5, 1.0, 0.5, 0.25))
+        assert cr._BUCKET_FRACS == (0.25, 0.5, 1.0)
+
 
 class TestSegmentBits:
     """Per-ray occupied-segment masks (ray_box_segment_bits) and the
