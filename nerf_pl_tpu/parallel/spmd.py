@@ -509,9 +509,15 @@ class Trainer:
         # shard_map makes the data-parallel reduction explicit (psum over
         # ICI) instead of leaning on GSPMD's handling of the opaque Pallas
         # custom-calls.
-        assert not self.tensor_parallel, (
-            "fused_loss path shards rays only (the 0.6M-param MLP needs no "
-            "tensor parallelism); run with tensor_parallel=False")
+        if self.tensor_parallel:
+            # TP exists to validate the mesh abstraction (numerics-verified
+            # on the XLA path, test_spmd.py::TestTensorParallel); the
+            # production loss-fused Pallas path is intentionally dp-only —
+            # a 1.2 M-param MLP's scaling axis is rays, not weights.
+            raise ValueError(
+                "fused_loss shards rays only; run with "
+                "tensor_parallel=False (or drop fused_loss to use the XLA "
+                "path, which supports the model axis)")
         rcfg, mcfg, gbatch = self.rcfg_train, self.mcfg, self.batch_size
 
         def local(params, rays_l, rgbs_l, key, occm_l=None):

@@ -889,3 +889,164 @@ class TestWeightMode:
         from nerf_pl_tpu.config import Hparams, validate_hparams
         with pytest.raises(ValueError, match="occ_mode"):
             validate_hparams(Hparams(occ_train=True, occ_mode="bogus"))
+
+
+class TestNDCGrid:
+    """Occupancy culling in NDC space — the LLFF forward-facing family
+    (reference datasets/llff.py:236-301): rays from get_ndc_rays live in
+    the [-1,1]^3 cube with near=0 / far=1 in ray-parameter space and
+    UNNORMALIZED directions. The grid machinery is coordinate-agnostic
+    (occupancy.py rays_aabb docstring); these tests pin that claim."""
+
+    def _ndc_rays(self, H=24, W=24, focal=24.0, cam_z=0.0):
+        from nerf_pl_tpu.datasets.ray_utils import (get_ndc_rays,
+                                                    get_ray_directions,
+                                                    get_rays)
+        dirs = get_ray_directions(H, W, focal)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = cam_z   # canonical camera (0) maps exactly to the cube
+        rays_o, rays_d = get_rays(dirs, c2w)
+        o_ndc, d_ndc = get_ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+        R = o_ndc.shape[0]
+        return np.concatenate(
+            [o_ndc, d_ndc, np.zeros((R, 1), np.float32),
+             np.ones((R, 1), np.float32)], 1).astype(np.float32)
+
+    def test_ndc_rays_live_in_cube(self):
+        rays = self._ndc_rays()
+        p0 = rays[:, 0:3]                              # t=0: near plane
+        p1 = rays[:, 0:3] + rays[:, 3:6]               # t=1: infinity
+        assert np.allclose(p0[:, 2], -1.0, atol=1e-5)  # z=-1 near plane
+        assert np.allclose(p1[:, 2], 1.0, atol=1e-5)   # z=+1 at infinity
+        assert np.abs(np.concatenate([p0, p1])).max() <= 1.0 + 1e-4
+        # directions are NOT unit-norm in NDC — the culler must not assume
+        assert not np.allclose(np.linalg.norm(rays[:, 3:6], axis=-1), 1.0)
+
+    def test_hits_match_brute_force_ndc(self):
+        """Slab test + union interval on NDC rays (non-unit d, t in [0,1])
+        agrees with the numpy reference."""
+        rays = self._ndc_rays()
+        # bounds off the pixel lattice: rays at exact box faces with
+        # d=-0.0 are measure-zero grazing cases where inclusive (kernel)
+        # vs nan-propagating (numpy reference) conventions differ
+        boxes = np.asarray([[-0.413, -0.413, -1.0, 0.409, 0.409, -0.207],
+                            [0.513, 0.513, 0.013, 0.913, 0.913, 0.613]],
+                           np.float32)
+        hit, tlo, thi = ray_box_hits(jnp.asarray(boxes), jnp.asarray(rays))
+        bf_hit, bf_tlo, bf_thi = brute_force_hits(boxes, rays)
+        np.testing.assert_array_equal(np.asarray(hit), bf_hit)
+        m = bf_hit
+        assert m.any() and not m.all()
+        np.testing.assert_allclose(np.asarray(tlo)[m], bf_tlo[m], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(thi)[m], bf_thi[m], rtol=1e-4)
+
+    def test_rays_aabb_ndc(self):
+        """The viewing-volume AABB of an NDC frustum is (a subset of) the
+        NDC cube — the auto-derived grid extent is well-posed."""
+        from nerf_pl_tpu.rendering import rays_aabb
+        lo, hi = rays_aabb(self._ndc_rays())
+        assert (lo >= -1.0 - 1e-4).all() and (hi <= 1.0 + 1e-4).all()
+        assert np.allclose(lo[2], -1.0, atol=1e-5)
+        assert np.allclose(hi[2], 1.0, atol=1e-5)
+
+    def test_culled_matches_dense_ndc(self):
+        """Cull + tighten parity on NDC rays: surviving rays render to the
+        dense values (the blender-space TestCulledMesh contract, in NDC)."""
+        mcfg = small_mcfg()
+        p1 = init_nerf_params(jax.random.PRNGKey(2), mcfg.nerf)
+        params = {"nerf_coarse": p1, "nerf_fine": p1}
+        occ = OccupancyGrid(
+            boxes=np.asarray([[-0.5, -0.5, -1.0, 0.5, 0.5, 0.2]], np.float32),
+            block_map=np.ones((1, 1, 1), np.uint8),
+            lo=np.asarray([-1, -1, -1], np.float32),
+            hi=np.asarray([1, 1, 1], np.float32))
+        rays = self._ndc_rays()
+        rcfg = RenderConfig(N_samples=16, N_importance=8, test_time=True)
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(rays))[0])
+        assert hit.any() and not hit.all()   # the box must actually cull
+        dense = render_rays_chunked(params, jnp.asarray(rays),
+                                    jax.random.PRNGKey(0), rcfg, mcfg,
+                                    chunk=128)
+        # Cull-only parity is exact for ANY model (survivors render with
+        # untouched intervals). Tightening is only near-lossless when the
+        # model is empty outside the grid — a trained-model property,
+        # covered by the slow TestNDCTrainedParity below.
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=64)
+        out, st = cr(params, jnp.asarray(rays), return_stats=True)
+        assert st["n_survivors"] == int(hit.sum())
+        for k in out:
+            np.testing.assert_allclose(np.asarray(out[k])[hit],
+                                       np.asarray(dense[k])[hit],
+                                       atol=5e-3, rtol=5e-3)
+
+    def test_weight_mode_grid_builds_on_ndc_rays(self):
+        """mode='weight' visibility pruning marches NDC rays (non-unit d)
+        and still yields a subset of the sigma-mode blocks."""
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(3), mcfg.nerf)
+        rays = self._ndc_rays()
+        kw = dict(N=16, block=4, ranges=(-1.0, 1.0), sigma_threshold=0.5,
+                  chunk=1024, auto_widen=0)
+        occ_s = build_occupancy_grid(params, mcfg, **kw)
+        occ_w = build_occupancy_grid(params, mcfg, mode="weight",
+                                     vis_rays=rays, vis_steps=64, **kw)
+        s = occ_s.block_map.astype(bool)
+        w = occ_w.block_map.astype(bool)
+        assert not (w & ~s).any(), "weight blocks must be a sigma subset"
+
+
+@pytest.mark.slow
+class TestNDCTrainedParity:
+    def test_culled_matches_dense_llff_ndc(self, tmp_path):
+        """Train a tiny forward-facing LLFF scene (NDC rays), build the
+        grid IN NDC SPACE from the trained model, and require culled and
+        tightened renders to preserve the dense render's GT-PSNR — the
+        blender-space TestCulledRenderParity contract on the LLFF/NDC
+        family (reference datasets/llff.py:236-301)."""
+        import os
+        from nerf_pl_tpu.config import Hparams
+        from nerf_pl_tpu.rendering import rays_aabb
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_llff_scene
+        root = make_llff_scene(str(tmp_path / "scene"), n_images=6,
+                               wh=(24, 18))
+        os.chdir(tmp_path)
+        hp = Hparams(root_dir=root, dataset_name="llff", img_wh=(24, 18),
+                     N_samples=12, N_importance=6, perturb=1.0,
+                     noise_std=1.0, batch_size=256, num_epochs=12,
+                     lr=7e-4, decay_step=[100], scan_steps=96,
+                     val_chunk=432, exp_name="occ_ndc_e2e")
+        system = NeRFSystem(hp, enable_tb=False)
+        system.fit()
+        params_full = {k: v for k, v in system.state.params.items()}
+
+        sample = system.val_dataset[0]
+        rays = jnp.asarray(sample["rays"])
+        # NDC rays: near=0, far=1, endpoints inside the [-1,1]^3 cube
+        r_np = np.asarray(sample["rays"])
+        assert np.allclose(r_np[:, 6], 0.0) and np.allclose(r_np[:, 7], 1.0)
+        lo, hi = rays_aabb(r_np)
+        # off-center cameras exceed the canonical cube slightly in x/y
+        assert (lo >= -1.2).all() and (hi <= 1.2).all()
+
+        occ = build_occupancy_grid(
+            params_full["nerf_fine"], system.mcfg, N=32, block=4,
+            ranges=(tuple(lo), tuple(hi)), sigma_threshold=0.5, chunk=2048,
+            max_ranges=(lo, hi))
+        assert 0 < occ.n_boxes
+        assert 0 < occ.occupied_fraction <= 1.0
+
+        rcfg = RenderConfig(N_samples=12, N_importance=6, test_time=True)
+        dense = render_rays_chunked(params_full, rays, jax.random.PRNGKey(0),
+                                    rcfg, system.mcfg, chunk=432)
+        gt = np.asarray(sample["rgbs"])
+        psnr = lambda a: -10 * np.log10(np.mean((a - gt) ** 2))
+        psnr_d = psnr(np.asarray(dense["rgb_fine"]))
+        for tighten in (False, True):
+            cr = CulledRenderer(occ, rcfg, system.mcfg, chunk=100,
+                                tighten=tighten)
+            out, stats = cr(params_full, rays, return_stats=True)
+            assert 0 < stats["n_survivors"] <= stats["n_rays"]
+            psnr_c = psnr(np.clip(np.asarray(out["rgb_fine"]), 0, 1))
+            assert abs(psnr_c - psnr_d) < 0.1, (tighten, psnr_c, psnr_d)

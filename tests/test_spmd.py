@@ -229,6 +229,21 @@ class TestTensorParallel:
         shard_cols = {s.data.shape[1] for s in w0.addressable_shards}
         assert shard_cols == {w0.shape[1] // 2}
 
+    def test_tp_rejected_on_fused_loss_path(self):
+        """The production loss-fused path is intentionally dp-only; TP
+        exists to validate the mesh abstraction (README parallelism row).
+        Requesting both must fail loudly, not silently ignore the axis."""
+        mesh = make_mesh(num_data=4, num_model=2)
+        rcfg = RenderConfig(N_samples=8, perturb=1.0, noise_std=0.0,
+                            fused_train=True, fused_loss=True)
+        sched = get_lr_schedule("steplr", 1e-3, 4, 10, decay_step=[100])
+        tr = Trainer(mesh, ModelConfig(), rcfg, get_optimizer("adam", sched),
+                     sched, loss_dict["mse"], 256, tensor_parallel=True)
+        tr.set_data(*make_data())
+        state = tr.init_state(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="tensor_parallel"):
+            tr.run_steps(state, jax.random.PRNGKey(1), 1)
+
 
 class TestShardedRender:
     def test_render_matches_direct(self):
