@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--skip_blender", action="store_true")
     ap.add_argument("--skip_llff", action="store_true")
     ap.add_argument("--skip_spheric", action="store_true")
+    ap.add_argument("--n_sph", type=int, default=33,
+                    help="spheric ring camera count (denser rings probe "
+                         "whether the novel-view gap is view sparsity)")
+    ap.add_argument("--sph_dir", type=str, default="hard_llff_sph",
+                    help="output dir name for the spheric scene")
     args = ap.parse_args()
 
     if not args.skip_blender:
@@ -74,8 +79,8 @@ def main():
             return np.array([3.5 * np.cos(theta), 3.5 * np.sin(theta), 2.0])
 
         root = make_llff_scene(
-            os.path.join(args.out, "hard_llff_sph"),
-            n_images=33, wh=tuple(args.llff_wh),
+            os.path.join(args.out, args.sph_dir),
+            n_images=args.n_sph, wh=tuple(args.llff_wh),
             cam_dist=float(np.hypot(3.5, 2.0)),
             render_fn=render_hard_scene_rgba, cam_pos_fn=sph_pos_fn,
             up=(0, 0, 1), scene_radius=1.8)

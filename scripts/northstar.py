@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""North-star wall-clock artifact: ONE fresh-start training run, timed from
+process start, recording when the val PSNR stream crosses each threshold —
+including compile, data load, eval and checkpoint overhead (BASELINE.json
+"hard400 >= 30.5 dB in < 15 min on 1 chip").
+
+Launches train.py as a subprocess and timestamps every [val] line against
+the subprocess LAUNCH time (not first-step time), so nothing is excluded.
+
+    python scripts/northstar.py --exp_name ns_c32 \
+        --json_out docs/bench/northstar.json -- \
+        --dataset_name blender --root_dir data/hard_blender ... (train.py args)
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from argparse import ArgumentParser
+
+VAL_RE = re.compile(r"\[val\] epoch (\d+) loss=([\d.]+) psnr=([\d.]+) "
+                    r"ssim=([\d.]+)")
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument('--json_out', type=str, required=True)
+    parser.add_argument('--thresholds', nargs='+', type=float,
+                        default=[25.0, 30.5, 32.0, 34.0, 34.5])
+    parser.add_argument('train_args', nargs='*',
+                        help='arguments forwarded to train.py (after --)')
+    args = parser.parse_args(argv)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "train.py")] + args.train_args
+    print(f"[northstar] launching: {' '.join(cmd)}", flush=True)
+
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, bufsize=1)
+    epochs = []
+    crossed = {}
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        m = VAL_RE.search(line)
+        if m:
+            t = time.time() - t0
+            e, loss, psnr, ssim = (int(m.group(1)), float(m.group(2)),
+                                   float(m.group(3)), float(m.group(4)))
+            epochs.append({"epoch": e, "wall_s": round(t, 1),
+                           "val_psnr": psnr, "val_ssim": ssim,
+                           "val_loss": loss})
+            for th in args.thresholds:
+                if psnr >= th and th not in crossed:
+                    crossed[th] = round(t, 1)
+                    print(f"[northstar] crossed {th} dB at {t/60:.2f} min "
+                          f"(epoch {e})", flush=True)
+    rc = proc.wait()
+    total = time.time() - t0
+
+    result = {
+        "cmd": cmd[1:],
+        "returncode": rc,
+        "total_wall_s": round(total, 1),
+        "thresholds_wall_s": {str(k): v for k, v in sorted(crossed.items())},
+        "epochs": epochs,
+        "best_val_psnr": max((e["val_psnr"] for e in epochs), default=None),
+        "note": "wall clock measured from train.py subprocess launch; "
+                "includes compile, data prep, eval and checkpoint overhead",
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.json_out)),
+                exist_ok=True)
+    with open(args.json_out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[northstar] written to {args.json_out}: "
+          f"{result['thresholds_wall_s']}", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
