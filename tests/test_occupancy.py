@@ -446,6 +446,48 @@ class TestCulledMesh:
                                            np.asarray(dense[k])[hit],
                                            atol=5e-3, rtol=5e-3)
 
+    def test_mesh_sharded_budgets_segments_matches_single(self):
+        """The full eval ladder (tighten+budgets+segments — the eval.py
+        --occ_budgets --occ_segments path) sharded over the 8-device mesh
+        reproduces the single-chip ladder on surviving rays."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from nerf_pl_tpu.parallel import make_mesh
+        mcfg = small_mcfg()
+        params_one = init_nerf_params(jax.random.PRNGKey(2), mcfg.nerf)
+        params = {"nerf_coarse": params_one, "nerf_fine": params_one}
+        occ = OccupancyGrid(
+            boxes=np.asarray([[-0.2, -0.2, -0.2, 0.2, 0.2, 0.2],
+                              [-2, -2, 2.0, 2, 2, 2.4]], np.float32),
+            block_map=np.ones((2, 2, 2), np.uint8),
+            lo=np.full(3, -2, np.float32), hi=np.full(3, 2.4, np.float32))
+        rng = np.random.default_rng(1)
+        R = 1600
+        o = rng.normal(size=(R, 3)).astype(np.float32) * 2
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o[rng.random(R) < 0.2, 0] = 5.0   # miss rays
+        rays = np.concatenate(
+            [o, d, np.full((R, 1), 0.1, np.float32),
+             np.full((R, 1), 10.0, np.float32)], 1)
+        rcfg = RenderConfig(N_samples=16, N_importance=8, test_time=True)
+        kw = dict(tighten=True, budgets=True, segments=16)
+        single = CulledRenderer(occ, rcfg, mcfg, chunk=100, **kw)
+        out_s, st_s = single(params, jnp.asarray(rays), return_stats=True)
+        mesh = make_mesh(num_data=8)
+        params_r = jax.device_put(params, NamedSharding(mesh, P()))
+        sharded = CulledRenderer(occ, rcfg, mcfg, chunk=100, mesh=mesh, **kw)
+        out_m, st_m = sharded(params_r, jnp.asarray(rays), return_stats=True)
+        assert st_s["n_survivors"] == st_m["n_survivors"]
+        assert sum(st_m["bucket_counts"]) == st_m["n_survivors"]
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(rays))[0])
+        for k in out_s:
+            a = np.asarray(out_m[k])[hit]
+            b = np.asarray(out_s[k])[hit]
+            # different tile counts compile different programs; budget
+            # bucketing amplifies fp drift through the inverse-CDF
+            assert np.mean((a - b) ** 2) < 1e-3, k
+
     def test_widen_capped_at_viewing_volume(self):
         """With max_ranges (the rays' AABB), boundary contact at the cap is
         harmless (nothing outside is reachable): no widen past it, no
