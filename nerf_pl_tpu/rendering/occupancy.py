@@ -491,8 +491,16 @@ def build_occupancy_grid(params: Dict, mcfg: ModelConfig = ModelConfig(),
 
 # ------------------------------------------------------------------ caching
 
-def grid_cache_path(ckpt_path: str) -> str:
-    return ckpt_path + ".occ.npz"
+def grid_cache_path(ckpt_path: str, key: Optional[str] = None) -> str:
+    """Cache file for a grid build. With a key, the path is per-key
+    (hash suffix) so alternating configs (e.g. occ_N sweeps) keep their
+    grids instead of overwriting one file — each rebuild costs minutes
+    of remote compile. Keyless form is the legacy single-file path."""
+    if key is None:
+        return ckpt_path + ".occ.npz"
+    import hashlib
+    h = hashlib.sha1(key.encode()).hexdigest()[:10]
+    return f"{ckpt_path}.occ.{h}.npz"
 
 
 def _grid_cache_key(ckpt_path: str, N: int, occ_range, threshold: float,
@@ -535,20 +543,22 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
     the ~minutes-long remote compile.
     """
     import os
-    path = grid_cache_path(ckpt_path)
     key = _grid_cache_key(ckpt_path, N, occ_range, sigma_threshold,
                           mode=mode, vis_rays=vis_rays, aabb=aabb)
-    if os.path.exists(path):
-        try:
-            z = np.load(path, allow_pickle=False)
-            if str(z["key"]) == key:
-                if verbose:
-                    print(f"[occ] loaded cached grid from {path}")
-                return OccupancyGrid(boxes=z["boxes"],
-                                     block_map=z["block_map"],
-                                     lo=z["lo"], hi=z["hi"])
-        except (KeyError, ValueError, OSError):
-            pass
+    path = grid_cache_path(ckpt_path, key)
+    # per-key path first, then the legacy single-file path (pre-round-5)
+    for p in (path, grid_cache_path(ckpt_path)):
+        if os.path.exists(p):
+            try:
+                z = np.load(p, allow_pickle=False)
+                if str(z["key"]) == key:
+                    if verbose:
+                        print(f"[occ] loaded cached grid from {p}")
+                    return OccupancyGrid(boxes=z["boxes"],
+                                         block_map=z["block_map"],
+                                         lo=z["lo"], hi=z["hi"])
+            except (KeyError, ValueError, OSError):
+                pass
     if (occ_range is None or occ_range == "auto") and aabb is None:
         raise ValueError("auto occupancy ranges need the dataset rays' "
                          "AABB (pass aabb=rays_aabb(...)) or an explicit "

@@ -381,8 +381,11 @@ class TestGridCache:
         occ1 = load_or_build_grid(str(ckpt), params, mcfg, N=8,
                                   occ_range=(-1.0, 1.0),
                                   sigma_threshold=0.5, verbose=False)
-        cache = grid_cache_path(str(ckpt))
-        assert os.path.exists(cache)
+        import glob
+        caches = glob.glob(grid_cache_path(str(ckpt)).replace(
+            ".occ.npz", ".occ.*.npz"))
+        assert len(caches) == 1    # per-key cache file (round 5)
+        cache = caches[0]
         mtime = os.path.getmtime(cache)
         occ2 = load_or_build_grid(str(ckpt), params, mcfg, N=8,
                                   occ_range=(-1.0, 1.0),
