@@ -53,6 +53,10 @@ class Hparams:
     val_chunk: int = 8192           # rays per tile in full-image val renders
     log_every: int = 100            # steps between scalar logs
     scan_steps: int = 100           # steps fused into one on-device lax.scan
+    val_every_steps: int = 0        # ALSO validate every N steps mid-epoch
+                                    # (0 = epoch-boundary only; lightning's
+                                    # val_check_interval analog — tightens
+                                    # time-to-PSNR measurements)
     fused_mlp: bool = False         # use the Pallas fused point-MLP kernel
     fused_train: bool = False       # fully-fused train step (MLP+quadrature
                                     # fwd/bwd in single Pallas kernels)
@@ -247,6 +251,14 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                         help='steps between scalar logs')
     parser.add_argument('--scan_steps', type=int, default=100,
                         help='train steps fused into one on-device lax.scan')
+    parser.add_argument('--val_every_steps', type=int, default=0,
+                        help='ALSO run validation every N steps mid-epoch '
+                             '(0 = epoch-boundary only). The analog of '
+                             'lightning val_check_interval; rounds up to the '
+                             'next scan-segment boundary. Mid-epoch vals log '
+                             'and print but do not checkpoint (top-k and '
+                             'last.ckpt stay epoch-granular for resume '
+                             'semantics)')
     parser.add_argument('--fused_mlp', default=False, action='store_true',
                         help='use the Pallas fused point-MLP kernel')
     parser.add_argument('--fused_train', default=False, action='store_true',

@@ -350,7 +350,24 @@ class NeRFSystem:
                         % max(hp.occ_refresh_epochs, 1) == 0:
                     with timer.phase("occ_tighten"):
                         self._occ_tighten()
-            if epoch > epoch_before or step >= total_steps:
+            epoch_val = epoch > epoch_before or step >= total_steps
+            if not epoch_val and hp.val_every_steps and \
+                    step // hp.val_every_steps > \
+                    (step - seg) // hp.val_every_steps:
+                # Mid-epoch validation (lightning val_check_interval analog):
+                # fires at the first segment boundary past each multiple of
+                # val_every_steps. Logs and prints a timestamped val line
+                # (scripts/northstar.py parses it for time-to-PSNR artifacts)
+                # but does NOT checkpoint — top-k/last.ckpt stay
+                # epoch-granular so resume replay semantics are unchanged.
+                with timer.phase("validate"):
+                    val = self.validate(step)
+                metrics = {**val, "epoch": epoch, "step": step}
+                print(f"[val] step {step} epoch {epoch} "
+                      f"loss={val['val/loss']:.4f} "
+                      f"psnr={val['val/psnr']:.2f} "
+                      f"ssim={val['val/ssim']:.3f}", flush=True)
+            if epoch_val:
                 with timer.phase("validate"):
                     val = self.validate(step)
                 metrics = {**val, "epoch": epoch, "step": step}

@@ -21,6 +21,10 @@ from argparse import ArgumentParser
 
 VAL_RE = re.compile(r"\[val\] epoch (\d+) loss=([\d.]+) psnr=([\d.]+) "
                     r"ssim=([\d.]+)")
+# Mid-epoch validation lines (--val_every_steps, the lightning
+# val_check_interval analog) — finer-grained threshold timestamps.
+VAL_STEP_RE = re.compile(r"\[val\] step (\d+) epoch (\d+) loss=([\d.]+) "
+                         r"psnr=([\d.]+) ssim=([\d.]+)")
 
 
 def main(argv=None):
@@ -44,19 +48,28 @@ def main(argv=None):
     for line in proc.stdout:
         sys.stdout.write(line)
         sys.stdout.flush()
+        entry = None
         m = VAL_RE.search(line)
+        ms = VAL_STEP_RE.search(line)
         if m:
+            entry = {"epoch": int(m.group(1)),
+                     "val_loss": float(m.group(2)),
+                     "val_psnr": float(m.group(3)),
+                     "val_ssim": float(m.group(4))}
+        elif ms:
+            entry = {"step": int(ms.group(1)), "epoch": int(ms.group(2)),
+                     "val_loss": float(ms.group(3)),
+                     "val_psnr": float(ms.group(4)),
+                     "val_ssim": float(ms.group(5))}
+        if entry:
             t = time.time() - t0
-            e, loss, psnr, ssim = (int(m.group(1)), float(m.group(2)),
-                                   float(m.group(3)), float(m.group(4)))
-            epochs.append({"epoch": e, "wall_s": round(t, 1),
-                           "val_psnr": psnr, "val_ssim": ssim,
-                           "val_loss": loss})
+            entry["wall_s"] = round(t, 1)
+            epochs.append(entry)
             for th in args.thresholds:
-                if psnr >= th and th not in crossed:
+                if entry["val_psnr"] >= th and th not in crossed:
                     crossed[th] = round(t, 1)
                     print(f"[northstar] crossed {th} dB at {t/60:.2f} min "
-                          f"(epoch {e})", flush=True)
+                          f"(epoch {entry['epoch']})", flush=True)
     rc = proc.wait()
     total = time.time() - t0
 

@@ -311,6 +311,37 @@ class TestEndToEnd:
         # checkpoints written
         assert os.path.exists(os.path.join("ckpts", "tiny_e2e", "last.ckpt"))
 
+    def test_val_every_steps_mid_epoch(self, tmp_path, capsys):
+        """--val_every_steps fires mid-epoch validations at segment
+        boundaries (lightning val_check_interval analog) in a format
+        scripts/northstar.py can timestamp, without extra checkpoints."""
+        from nerf_pl_tpu.training.system import NeRFSystem
+        from nerf_pl_tpu.utils.synthetic import make_blender_scene
+        from scripts.northstar import VAL_STEP_RE, VAL_RE
+        root = make_blender_scene(str(tmp_path / "scene"), n_train=2,
+                                  n_val=1, n_test=1, wh=(16, 16))
+        # 2*16*16=512 rays, batch 128 -> 4 steps/epoch; scan_steps 2 and
+        # val_every_steps 2 -> one mid-epoch val per epoch (at step 2, 6)
+        # plus the usual epoch-boundary vals (at step 4, 8).
+        hp = Hparams(root_dir=root, dataset_name="blender", img_wh=(16, 16),
+                     N_samples=8, N_importance=0, batch_size=128,
+                     num_epochs=2, lr=5e-4, decay_step=[100], scan_steps=2,
+                     val_every_steps=2, val_chunk=256, exp_name="midval_e2e")
+        os.chdir(tmp_path)
+        system = NeRFSystem(hp, enable_tb=False)
+        system.fit()
+        out = capsys.readouterr().out
+        mid = [m for line in out.splitlines()
+               for m in [VAL_STEP_RE.search(line)] if m]
+        epochal = [m for line in out.splitlines()
+                   for m in [VAL_RE.search(line)] if m]
+        assert [int(m.group(1)) for m in mid] == [2, 6]
+        assert len(epochal) == 2  # epoch boundaries unchanged
+        # mid-epoch vals must not add checkpoints: last + topk only
+        ckpts = os.listdir(os.path.join("ckpts", "midval_e2e"))
+        assert all(("last" in c) or ("epoch=" in c) or c == "topk.json"
+                   for c in ckpts)
+
     def test_resume_from_last(self, tmp_path):
         from nerf_pl_tpu.training.system import NeRFSystem
         from nerf_pl_tpu.utils.synthetic import make_blender_scene
