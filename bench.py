@@ -50,6 +50,8 @@ def main():
                     help="master-weight/moment dtype (kernels compute bf16 "
                          "matmuls either way); A/B knob for BENCH_NOTES")
     args = ap.parse_args()
+    from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # warm processes skip the remote compile
     culled = args.config.startswith("culled")
     n_coarse = 64 if not culled else int(args.config[len("culled"):])
 

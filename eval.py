@@ -120,6 +120,11 @@ def get_opts(argv=None):
                              'amortizing per-frame host round-trips (and, '
                              'with --occ_grid, packing survivor tiles '
                              'across frames)')
+    parser.add_argument('--compile_cache', type=str,
+                        default="~/.cache/nerf_pl_tpu/xla",
+                        help='persistent XLA compilation cache directory '
+                             "('' disables; JAX_COMPILATION_CACHE_DIR env "
+                             'var wins if set)')
     return parser.parse_args(argv)
 
 
@@ -148,8 +153,10 @@ def main(argv=None):
     from nerf_pl_tpu.training.checkpoints import load_ckpt
     from nerf_pl_tpu.training.metrics import psnr as psnr_fn
     from nerf_pl_tpu.training.metrics import ssim as ssim_fn
+    from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
 
     args = get_opts(argv)
+    enable_compile_cache(args.compile_cache)
     w, h = args.img_wh
 
     kwargs = {'root_dir': args.root_dir, 'split': args.split,

@@ -63,6 +63,11 @@ def get_opts(argv=None):
                              'notebook\'s COLLADA export)')
     parser.add_argument('--out_dir', type=str, default='.',
                         help='output directory')
+    parser.add_argument('--compile_cache', type=str,
+                        default="~/.cache/nerf_pl_tpu/xla",
+                        help='persistent XLA compilation cache directory '
+                             "('' disables; JAX_COMPILATION_CACHE_DIR env "
+                             'var wins if set)')
     return parser.parse_args(argv)
 
 
@@ -80,8 +85,10 @@ def main(argv=None):
     from nerf_pl_tpu.rendering import (ModelConfig, RenderConfig,
                                        render_rays_chunked)
     from nerf_pl_tpu.training.checkpoints import load_ckpt
+    from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
 
     args = get_opts(argv)
+    enable_compile_cache(args.compile_cache)
 
     kwargs = {'root_dir': args.root_dir, 'img_wh': tuple(args.img_wh)}
     if args.dataset_name == 'llff':

@@ -60,6 +60,11 @@ class Hparams:
     fused_mlp: bool = False         # use the Pallas fused point-MLP kernel
     fused_train: bool = False       # fully-fused train step (MLP+quadrature
                                     # fwd/bwd in single Pallas kernels)
+    compile_cache: str = "~/.cache/nerf_pl_tpu/xla"
+                                    # persistent XLA compilation cache dir
+                                    # ('' disables; JAX_COMPILATION_CACHE_DIR
+                                    # env var wins if set). Warm processes
+                                    # skip minutes of remote compile.
     seed: int = 42
     num_workers: int = 0            # accepted for parity; data is on-device
     val_num: int = 1                # llff: DISTINCT nearest-center views
@@ -259,6 +264,15 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                              'and print but do not checkpoint (top-k and '
                              'last.ckpt stay epoch-granular for resume '
                              'semantics)')
+    parser.add_argument('--compile_cache', type=str,
+                        default="~/.cache/nerf_pl_tpu/xla",
+                        help='persistent XLA compilation cache directory; '
+                             'compiled executables are reused across '
+                             'processes (minutes of remote compile under '
+                             'the TPU tunnel become ~0 when warm). Pass an '
+                             'empty string to disable; a set '
+                             'JAX_COMPILATION_CACHE_DIR env var takes '
+                             'precedence')
     parser.add_argument('--fused_mlp', default=False, action='store_true',
                         help='use the Pallas fused point-MLP kernel')
     parser.add_argument('--fused_train', default=False, action='store_true',

@@ -25,6 +25,7 @@ from ..models.nerf import NeRFConfig
 from ..parallel.mesh import make_mesh
 from ..parallel.spmd import Trainer
 from ..rendering.render import ModelConfig, RenderConfig
+from ..utils.compile_cache import enable_compile_cache
 from ..utils.visualization import visualize_depth
 from .checkpoints import (TopKCheckpoints, device_fetch, load_checkpoint,
                           load_ckpt, load_meta, save_checkpoint)
@@ -40,6 +41,7 @@ class NeRFSystem:
                  ckpt_root: str = "ckpts", enable_tb: bool = True):
         self.hparams = hparams
         self.mesh = mesh
+        enable_compile_cache(getattr(hparams, "compile_cache", None))
         self.log_dir = os.path.join(log_dir, hparams.exp_name)
         self.ckpt_dir = os.path.join(ckpt_root, hparams.exp_name)
         self.enable_tb = enable_tb

@@ -29,6 +29,8 @@ import numpy as np  # noqa: E402
 
 
 def main(argv=None):
+    from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # steady-state timing is post-compile either way
     parser = ArgumentParser()
     parser.add_argument('--root_dir', type=str, required=True)
     parser.add_argument('--dataset_name', type=str, default='blender',

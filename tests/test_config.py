@@ -1,5 +1,7 @@
 """validate_hparams: the single setup-time choke point for illegal flag
 combinations (VERDICT r2 weak #5) — each rejection names the flag to fix."""
+import os
+
 import pytest
 
 from nerf_pl_tpu.config import Hparams, get_opts, validate_hparams
@@ -57,3 +59,47 @@ class TestValidateHparams:
         assert list(hp.occ_range) == [-1.7, 1.7]
         assert hp.occ_margin == 0.2
         assert get_opts([]).occ_range is None
+
+
+class TestCompileCache:
+    """Persistent XLA compilation cache plumbing (utils/compile_cache.py)."""
+
+    def _restore(self):
+        import jax
+        return jax.config.jax_compilation_cache_dir
+
+    def test_disabled_by_empty(self):
+        from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+        assert enable_compile_cache("") is None
+        assert enable_compile_cache(None) is None
+
+    def test_env_var_wins(self, tmp_path, monkeypatch):
+        import jax
+        from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+        before = jax.config.jax_compilation_cache_dir
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/env/cache")
+        try:
+            assert enable_compile_cache(str(tmp_path / "flag")) == "/env/cache"
+            # config untouched — jax reads the env var itself
+            assert jax.config.jax_compilation_cache_dir == before
+            assert not (tmp_path / "flag").exists()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_enables_and_creates_dir(self, tmp_path, monkeypatch):
+        import jax
+        from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            p = enable_compile_cache(str(tmp_path / "xla"))
+            assert p == str(tmp_path / "xla")
+            assert os.path.isdir(p)
+            assert jax.config.jax_compilation_cache_dir == p
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_cli_flag_surface(self):
+        hp = get_opts(["--compile_cache", ""])
+        assert hp.compile_cache == ""
+        assert get_opts([]).compile_cache == "~/.cache/nerf_pl_tpu/xla"
