@@ -911,6 +911,25 @@ class CulledRenderer:
         per = -(-R // gran)
         return min(self.chunk, -(-per // 8) * 8)
 
+    def _bucket_cost(self, frac: float) -> int:
+        """Per-ray point-eval proxy for a span bucket's program."""
+        r = self._rcfg_for_frac(frac)
+        return r.N_samples + max(r.N_importance, 0)
+
+    def _chunk_for_bucket(self, chunk: int, frac: float) -> int:
+        """Equal point-work per tile across buckets: expensive (high-frac)
+        buckets get proportionally smaller ray tiles, so their tail tile
+        pads far fewer wasted point-evals. Measured on the hard400 4-tier
+        matrix the full-span bucket holds 14k of 463k survivors but padded
+        to a whole 40960-ray tile at 128 samples — 3.4M of the frame's
+        padded point-evals for 1.8M of real work. Floor 2048 keeps tiny
+        tiles from being all dispatch overhead; multiple of 8 like
+        _chunk_for."""
+        cost_min = min(self._bucket_cost(f) for f in self._BUCKET_FRACS)
+        c = chunk * cost_min // self._bucket_cost(frac)
+        c = max(min(chunk, -(-c // 8) * 8), 2048)
+        return min(c, chunk)
+
     def _make_tile_render(self, rcfg):
         """lax.map over fixed-size ray tiles, shard_mapped over the data
         mesh when one is attached — shared by the uniform and per-bucket
@@ -1073,18 +1092,22 @@ class CulledRenderer:
             n_b = int(counts_h[b])
             if n_b == 0:
                 continue
-            n_tiles = self._round_tiles(n_b, cap_tiles, chunk)
-            rendered += n_tiles * chunk
+            # Per-bucket tile size (equal point-work per tile); the
+            # dynamic slice stays in bounds because chunk_b <= chunk and
+            # pad_rows >= gran * chunk covers any bucket's tile rounding.
+            chunk_b = self._chunk_for_bucket(chunk, frac)
+            n_tiles = self._round_tiles(n_b, -(-R // chunk_b), chunk_b)
+            rendered += n_tiles * chunk_b
             if timing:
                 tb = _time.perf_counter()
-            img = self._bucket_program(n_tiles, R, frac, chunk)(
+            img = self._bucket_program(n_tiles, R, frac, chunk_b)(
                 params, rays_sorted, occm_sorted, order,
                 jnp.asarray(int(starts[b]), jnp.int32),
                 jnp.asarray(n_b, jnp.int32), img, key)
             if timing:
                 jax.block_until_ready(img[f"rgb_{typ}"])
                 print(f"[occ-timing] bucket frac={frac} rows={n_b} "
-                      f"tiles={n_tiles} ({n_tiles * chunk} rendered): "
+                      f"tiles={n_tiles} ({n_tiles * chunk_b} rendered): "
                       f"{_time.perf_counter() - tb:.3f}s", flush=True)
         out = {k: v[:R] for k, v in img.items()}
         if return_stats:

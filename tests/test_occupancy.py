@@ -562,6 +562,41 @@ class TestBudgetedRenderer:
         bg = np.asarray(out["rgb_fine"])[~hit]
         np.testing.assert_array_equal(bg, np.zeros_like(bg))
 
+    def test_bucket_chunk_equal_pointwork(self):
+        """Expensive (high-frac) buckets render with proportionally
+        smaller ray tiles so the tail tile pads fewer wasted point-evals;
+        tiles stay multiples of 8, floored at 2048, never above the base
+        chunk."""
+        mcfg, params, occ, rays, rcfg = self._setup()
+        cr = CulledRenderer(occ, rcfg, mcfg, chunk=40960, tighten=True,
+                            budgets=True)
+        # costs (N_s+N_i after frac scaling, floors at 8): 0.25 -> 16+8,
+        # 0.5 -> 32+16, 1.0 -> 64+32
+        assert cr._bucket_cost(0.25) == 24
+        assert cr._bucket_cost(0.5) == 48
+        assert cr._bucket_cost(1.0) == 96
+        assert cr._chunk_for_bucket(40960, 0.25) == 40960
+        assert cr._chunk_for_bucket(40960, 0.5) == 20480
+        assert cr._chunk_for_bucket(40960, 1.0) == 10240
+        # multiple of 8, capped at chunk, floored at 2048
+        assert cr._chunk_for_bucket(40960, 1.0) % 8 == 0
+        assert cr._chunk_for_bucket(1000, 1.0) == 1000   # tiny chunk wins
+        assert cr._chunk_for_bucket(4096, 1.0) == 2048   # floor engages
+        # end-to-end at a size where the buckets really run with DIFFERENT
+        # tile sizes (R > chunk so _chunk_for keeps 4096; frac 0.5 -> 2048,
+        # frac 1.0 -> 2048 floor): exercises the dynamic-slice bounds of
+        # the smaller-chunk programs against the shared padded arrays.
+        big = np.tile(rays, (8, 1))                      # R = 6400 > 4096
+        cr2 = CulledRenderer(occ, rcfg, mcfg, chunk=4096, tighten=True,
+                             budgets=True)
+        out, st = cr2(params, jnp.asarray(big), return_stats=True)
+        assert sum(st["bucket_counts"]) == st["n_survivors"]
+        assert st["n_rendered"] >= st["n_survivors"]
+        hit = np.asarray(ray_box_hits(jnp.asarray(occ.boxes),
+                                      jnp.asarray(big))[0])
+        bg = np.asarray(out["rgb_fine"])[~hit]
+        np.testing.assert_array_equal(bg, np.zeros_like(bg))
+
     def test_budgets_require_tighten(self):
         mcfg, params, occ, rays, rcfg = self._setup()
         with pytest.raises(ValueError, match="tighten"):
