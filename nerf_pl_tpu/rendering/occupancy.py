@@ -916,17 +916,23 @@ class CulledRenderer:
         r = self._rcfg_for_frac(frac)
         return r.N_samples + max(r.N_importance, 0)
 
+    # Per-tile point-work budget, in units of chunk rays x samples: tiles
+    # are capped at the point-work of a 32-samples-per-ray full-size tile.
+    # Measured on the hard400 800x800 matrix (BENCH_NOTES round 5): capping
+    # ONLY the expensive buckets (cost > 32) cut the 3-tier default from
+    # 1.234 to ~1.0 s/frame (the 128-sample bucket at full 40960-ray tiles
+    # both over-pads its tail and overruns VMEM-friendly working sets),
+    # while ALSO shrinking cheap buckets regressed the 4-tier preset
+    # (0.975 -> 1.25 s: low-arithmetic-intensity tiles pay per-launch
+    # overhead without saving meaningful padding).
+    _TILE_COST_REF = 32
+
     def _chunk_for_bucket(self, chunk: int, frac: float) -> int:
-        """Equal point-work per tile across buckets: expensive (high-frac)
-        buckets get proportionally smaller ray tiles, so their tail tile
-        pads far fewer wasted point-evals. Measured on the hard400 4-tier
-        matrix the full-span bucket holds 14k of 463k survivors but padded
-        to a whole 40960-ray tile at 128 samples — 3.4M of the frame's
-        padded point-evals for 1.8M of real work. Floor 2048 keeps tiny
-        tiles from being all dispatch overhead; multiple of 8 like
-        _chunk_for."""
-        cost_min = min(self._bucket_cost(f) for f in self._BUCKET_FRACS)
-        c = chunk * cost_min // self._bucket_cost(frac)
+        """Cost-capped ray tile for a span bucket: buckets whose per-ray
+        sample cost exceeds _TILE_COST_REF render in proportionally
+        smaller tiles (multiple of 8, floor 2048, never above the base
+        chunk); cheap buckets keep full-size tiles."""
+        c = chunk * self._TILE_COST_REF // max(self._bucket_cost(frac), 1)
         c = max(min(chunk, -(-c // 8) * 8), 2048)
         return min(c, chunk)
 

@@ -562,11 +562,12 @@ class TestBudgetedRenderer:
         bg = np.asarray(out["rgb_fine"])[~hit]
         np.testing.assert_array_equal(bg, np.zeros_like(bg))
 
-    def test_bucket_chunk_equal_pointwork(self):
-        """Expensive (high-frac) buckets render with proportionally
-        smaller ray tiles so the tail tile pads fewer wasted point-evals;
-        tiles stay multiples of 8, floored at 2048, never above the base
-        chunk."""
+    def test_bucket_chunk_cost_capped(self):
+        """Buckets costlier than _TILE_COST_REF samples/ray render in
+        proportionally smaller ray tiles (tail tiles pad fewer wasted
+        point-evals; working sets stay VMEM-friendly); cheap buckets keep
+        full-size tiles. Multiples of 8, floored at 2048, never above the
+        base chunk."""
         mcfg, params, occ, rays, rcfg = self._setup()
         cr = CulledRenderer(occ, rcfg, mcfg, chunk=40960, tighten=True,
                             budgets=True)
@@ -575,9 +576,9 @@ class TestBudgetedRenderer:
         assert cr._bucket_cost(0.25) == 24
         assert cr._bucket_cost(0.5) == 48
         assert cr._bucket_cost(1.0) == 96
-        assert cr._chunk_for_bucket(40960, 0.25) == 40960
-        assert cr._chunk_for_bucket(40960, 0.5) == 20480
-        assert cr._chunk_for_bucket(40960, 1.0) == 10240
+        assert cr._chunk_for_bucket(40960, 0.25) == 40960  # cheap: full
+        assert cr._chunk_for_bucket(40960, 0.5) == 27312   # 40960*32/48
+        assert cr._chunk_for_bucket(40960, 1.0) == 13656   # 40960*32/96
         # multiple of 8, capped at chunk, floored at 2048
         assert cr._chunk_for_bucket(40960, 1.0) % 8 == 0
         assert cr._chunk_for_bucket(1000, 1.0) == 1000   # tiny chunk wins
