@@ -120,8 +120,8 @@ def get_opts(argv=None):
                              'amortizing per-frame host round-trips (and, '
                              'with --occ_grid, packing survivor tiles '
                              'across frames)')
-    parser.add_argument('--compile_cache', type=str,
-                        default="~/.cache/nerf_pl_tpu/xla",
+    from nerf_pl_tpu.utils.compile_cache import DEFAULT_DIR
+    parser.add_argument('--compile_cache', type=str, default=DEFAULT_DIR,
                         help='persistent XLA compilation cache directory '
                              "('' disables; JAX_COMPILATION_CACHE_DIR env "
                              'var wins if set)')

@@ -11,6 +11,8 @@ import argparse
 import dataclasses
 from typing import List, Optional, Sequence
 
+from nerf_pl_tpu.utils.compile_cache import DEFAULT_DIR as COMPILE_CACHE_DEFAULT
+
 
 @dataclasses.dataclass
 class Hparams:
@@ -60,7 +62,7 @@ class Hparams:
     fused_mlp: bool = False         # use the Pallas fused point-MLP kernel
     fused_train: bool = False       # fully-fused train step (MLP+quadrature
                                     # fwd/bwd in single Pallas kernels)
-    compile_cache: str = "~/.cache/nerf_pl_tpu/xla"
+    compile_cache: str = COMPILE_CACHE_DEFAULT
                                     # persistent XLA compilation cache dir
                                     # ('' disables; JAX_COMPILATION_CACHE_DIR
                                     # env var wins if set). Warm processes
@@ -173,6 +175,11 @@ def validate_hparams(hp: Hparams) -> Hparams:
         raise ValueError(
             "--occ_pack requires --occ_train (survivor packing is driven "
             "by the training-side occupancy grid)")
+    if hp.val_every_steps < 0:
+        raise ValueError(
+            f"--val_every_steps {hp.val_every_steps} must be >= 0 "
+            "(0 = epoch-boundary validation only; a negative value would "
+            "silently never fire)")
     return hp
 
 
@@ -265,7 +272,7 @@ def get_opts(argv: Optional[List[str]] = None) -> Hparams:
                              'last.ckpt stay epoch-granular for resume '
                              'semantics)')
     parser.add_argument('--compile_cache', type=str,
-                        default="~/.cache/nerf_pl_tpu/xla",
+                        default=COMPILE_CACHE_DEFAULT,
                         help='persistent XLA compilation cache directory; '
                              'compiled executables are reused across '
                              'processes (minutes of remote compile under '

@@ -573,6 +573,26 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
                                mode=mode, vis_rays=vis_rays)
     np.savez(path, key=key, boxes=occ.boxes, block_map=occ.block_map,
              lo=occ.lo, hi=occ.hi)
+    # Prune permanently-stale siblings: every key embeds the checkpoint's
+    # mtime_ns:size, so per-key files from a previous train of this ckpt
+    # can never match again and would otherwise accumulate unbounded
+    # across retrains. Same-mtime siblings (occ_N / range sweeps) stay.
+    import glob
+    st = os.stat(ckpt_path)
+    live_prefix = f"{st.st_mtime_ns}:{st.st_size}:"
+    for p in glob.glob(ckpt_path + ".occ.*.npz"):
+        if os.path.abspath(p) == os.path.abspath(path):
+            continue
+        try:
+            stale = not str(np.load(p, allow_pickle=False)["key"]
+                            ).startswith(live_prefix)
+        except (KeyError, ValueError, OSError):
+            stale = True
+        if stale:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     if verbose:
         print(f"[occ] built grid ({occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% occupied), cached to "
@@ -918,13 +938,14 @@ class CulledRenderer:
 
     # Per-tile point-work budget, in units of chunk rays x samples: tiles
     # are capped at the point-work of a 32-samples-per-ray full-size tile.
-    # Measured on the hard400 800x800 matrix (BENCH_NOTES round 5): capping
-    # ONLY the expensive buckets (cost > 32) cut the 3-tier default from
-    # 1.234 to ~1.0 s/frame (the 128-sample bucket at full 40960-ray tiles
-    # both over-pads its tail and overruns VMEM-friendly working sets),
-    # while ALSO shrinking cheap buckets regressed the 4-tier preset
-    # (0.975 -> 1.25 s: low-arithmetic-intensity tiles pay per-launch
-    # overhead without saving meaningful padding).
+    # Measured on the hard400 800x800 matrix (BENCH_NOTES round 5, base
+    # chunk 20480): shrinking expensive buckets cut the 3-tier default
+    # from 1.234 to ~1.0 s/frame (the 128-sample bucket at full base-size
+    # tiles both over-pads its tail and overruns VMEM-friendly working
+    # sets), while ALSO shrinking cheap buckets (the equal-point-work
+    # rule) regressed the 4-tier preset (0.975 -> 1.25 s:
+    # low-arithmetic-intensity tiles pay per-launch overhead without
+    # saving meaningful padding) — hence cap, don't normalize.
     _TILE_COST_REF = 32
 
     def _chunk_for_bucket(self, chunk: int, frac: float) -> int:

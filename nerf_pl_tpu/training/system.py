@@ -353,29 +353,26 @@ class NeRFSystem:
                     with timer.phase("occ_tighten"):
                         self._occ_tighten()
             epoch_val = epoch > epoch_before or step >= total_steps
-            if not epoch_val and hp.val_every_steps and \
-                    step // hp.val_every_steps > \
-                    (step - seg) // hp.val_every_steps:
-                # Mid-epoch validation (lightning val_check_interval analog):
-                # fires at the first segment boundary past each multiple of
-                # val_every_steps. Logs and prints a timestamped val line
-                # (scripts/northstar.py parses it for time-to-PSNR artifacts)
-                # but does NOT checkpoint — top-k/last.ckpt stay
-                # epoch-granular so resume replay semantics are unchanged.
+            # Mid-epoch validation (lightning val_check_interval analog):
+            # fires at the first segment boundary past each multiple of
+            # val_every_steps. Same validate + timestamped print as the
+            # epoch-boundary val ([val] step S epoch E ... vs [val] epoch
+            # E ...; scripts/northstar.py parses both for time-to-PSNR
+            # artifacts) but does NOT checkpoint — top-k/last.ckpt stay
+            # epoch-granular so resume replay semantics are unchanged.
+            mid_val = not epoch_val and hp.val_every_steps and \
+                step // hp.val_every_steps > \
+                (step - seg) // hp.val_every_steps
+            if epoch_val or mid_val:
                 with timer.phase("validate"):
                     val = self.validate(step)
                 metrics = {**val, "epoch": epoch, "step": step}
-                print(f"[val] step {step} epoch {epoch} "
-                      f"loss={val['val/loss']:.4f} "
+                tag = f"epoch {epoch}" if epoch_val \
+                    else f"step {step} epoch {epoch}"
+                print(f"[val] {tag} loss={val['val/loss']:.4f} "
                       f"psnr={val['val/psnr']:.2f} "
                       f"ssim={val['val/ssim']:.3f}", flush=True)
             if epoch_val:
-                with timer.phase("validate"):
-                    val = self.validate(step)
-                metrics = {**val, "epoch": epoch, "step": step}
-                print(f"[val] epoch {epoch} loss={val['val/loss']:.4f} "
-                      f"psnr={val['val/psnr']:.2f} "
-                      f"ssim={val['val/ssim']:.3f}", flush=True)
                 with timer.phase("checkpoint"):
                     # ONE pipelined device->host fetch serves both saves
                     # (each used to pay its own per-leaf tunnel round-trips)

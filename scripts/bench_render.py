@@ -41,7 +41,14 @@ def main(argv=None):
     parser.add_argument('--spheric_poses', default=False, action='store_true')
     parser.add_argument('--N_samples', type=int, default=64)
     parser.add_argument('--N_importance', type=int, default=64)
-    parser.add_argument('--chunk', type=int, default=40960)
+    parser.add_argument('--chunk', type=int, default=40960,
+                        help='ray tile size for the dense renderer')
+    parser.add_argument('--culled_chunk', type=int, default=20480,
+                        help='BASE ray tile for the culled configs (every '
+                             'historical culled row ran at 20480 — an '
+                             'unconditional clamp until round 5; the '
+                             'cost-capped bucket tiles derive from this '
+                             'base, so it is the sweep lever)')
     parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--occ_mode', type=str, default='weight',
                         choices=['sigma', 'weight'])
@@ -124,7 +131,7 @@ def main(argv=None):
             return lambda r: fn(params, r)
         budgeted = config in ('budgets', 'segments')
         cr = CulledRenderer(
-            occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
+            occ, rcfg, mcfg, chunk=args.culled_chunk,
             tighten=config in ('tighten', 'budgets', 'segments'),
             budgets=budgeted,
             segments=32 if config == 'segments' else 0,

@@ -14,6 +14,7 @@ the subprocess LAUNCH time (not first-step time), so nothing is excluded.
 import json
 import os
 import re
+import signal
 import subprocess
 import sys
 import time
@@ -32,19 +33,51 @@ def main(argv=None):
     parser.add_argument('--json_out', type=str, required=True)
     parser.add_argument('--thresholds', nargs='+', type=float,
                         default=[25.0, 30.5, 32.0, 34.0, 34.5])
+    parser.add_argument('--train_script', type=str, default=None,
+                        help='override the wrapped script (default: the '
+                             'repo train.py; tests substitute a stub)')
     parser.add_argument('train_args', nargs='*',
                         help='arguments forwarded to train.py (after --)')
     args = parser.parse_args(argv)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cmd = [sys.executable, os.path.join(repo, "train.py")] + args.train_args
+    script = args.train_script or os.path.join(repo, "train.py")
+    cmd = [sys.executable, script] + args.train_args
     print(f"[northstar] launching: {' '.join(cmd)}", flush=True)
 
     t0 = time.time()
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, bufsize=1)
+
+    # `timeout`/Ctrl-C signal THIS process, not the train.py child — kill
+    # the child (it holds the TPU; an orphan wedges every queued stage
+    # behind it) and still write the partial artifact via the finally
+    # below: everything collected so far is real threshold data.
+    def _terminate(signum, frame):
+        raise SystemExit(128 + signum)
+    signal.signal(signal.SIGTERM, _terminate)
+    signal.signal(signal.SIGINT, _terminate)
+
     epochs = []
     crossed = {}
+    rc = None
+    result = None
+    try:
+        _pump(proc, t0, epochs, crossed, args.thresholds)
+        rc = proc.wait()
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        result = _write(args.json_out, cmd, rc, time.time() - t0,
+                        epochs, crossed)
+    return result
+
+
+def _pump(proc, t0, epochs, crossed, thresholds):
     for line in proc.stdout:
         sys.stdout.write(line)
         sys.stdout.flush()
@@ -65,17 +98,17 @@ def main(argv=None):
             t = time.time() - t0
             entry["wall_s"] = round(t, 1)
             epochs.append(entry)
-            for th in args.thresholds:
+            for th in thresholds:
                 if entry["val_psnr"] >= th and th not in crossed:
                     crossed[th] = round(t, 1)
                     print(f"[northstar] crossed {th} dB at {t/60:.2f} min "
                           f"(epoch {entry['epoch']})", flush=True)
-    rc = proc.wait()
-    total = time.time() - t0
 
+
+def _write(json_out, cmd, rc, total, epochs, crossed):
     result = {
         "cmd": cmd[1:],
-        "returncode": rc,
+        "returncode": rc,   # None = killed/interrupted (partial artifact)
         "total_wall_s": round(total, 1),
         "thresholds_wall_s": {str(k): v for k, v in sorted(crossed.items())},
         "epochs": epochs,
@@ -83,11 +116,10 @@ def main(argv=None):
         "note": "wall clock measured from train.py subprocess launch; "
                 "includes compile, data prep, eval and checkpoint overhead",
     }
-    os.makedirs(os.path.dirname(os.path.abspath(args.json_out)),
-                exist_ok=True)
-    with open(args.json_out, "w") as f:
+    os.makedirs(os.path.dirname(os.path.abspath(json_out)), exist_ok=True)
+    with open(json_out, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"[northstar] written to {args.json_out}: "
+    print(f"[northstar] written to {json_out}: "
           f"{result['thresholds_wall_s']}", flush=True)
     return result
 

@@ -214,3 +214,53 @@ class TestLLFFTraining:
         final = NeRFSystem(hp, enable_tb=False).fit()
         # NDC forward-facing scene must beat a mean-image baseline
         assert final["val/psnr"] > 14.0
+
+
+class TestNorthstarHarness:
+    def test_sigterm_kills_child_and_writes_partial(self, tmp_path):
+        """`timeout` SIGTERMs northstar.py, NOT the wrapped train.py —
+        the harness must kill the child itself (an orphan holds the TPU
+        and wedges every queued stage behind it) and still write the
+        partial JSON with the crossings collected so far."""
+        import json
+        import signal
+        import subprocess
+        import time
+
+        stub = tmp_path / "stub_train.py"
+        stub.write_text(
+            "import os, sys, time\n"
+            f"open({str(tmp_path / 'child.pid')!r}, 'w')"
+            ".write(str(os.getpid()))\n"
+            "print('[val] epoch 1 loss=0.0100 psnr=26.00 ssim=0.900',"
+            " flush=True)\n"
+            "time.sleep(300)\n")
+        out = tmp_path / "ns.json"
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "scripts", "northstar.py"),
+             "--json_out", str(out), "--thresholds", "25.0", "40.0",
+             "--train_script", str(stub)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        # wait until the harness echoed the crossing, then SIGTERM it
+        for line in proc.stdout:
+            if "crossed 25.0" in line:
+                break
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)
+
+        data = json.loads(out.read_text())
+        assert data["returncode"] is None        # partial artifact
+        assert data["thresholds_wall_s"].keys() == {"25.0"}
+        assert data["epochs"][0]["val_psnr"] == 26.00
+        # the stub child must be dead (reaped or at least signaled)
+        child = int((tmp_path / "child.pid").read_text())
+        for _ in range(50):
+            try:
+                os.kill(child, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.1)
+        else:
+            os.kill(child, signal.SIGKILL)
+            pytest.fail("train child survived northstar SIGTERM")

@@ -46,6 +46,15 @@ class TestValidateHparams:
                                      occ_segments=0))
         validate_hparams(Hparams(occ_train=True, occ_keepalive=0.1))
 
+    def test_val_every_steps_negative_rejected(self):
+        """A negative interval is truthy but the mid-epoch crossing
+        condition is never true — reject at setup instead of silently
+        never validating."""
+        with pytest.raises(ValueError, match="--val_every_steps"):
+            validate_hparams(Hparams(val_every_steps=-500))
+        validate_hparams(Hparams(val_every_steps=0))      # disabled: fine
+        validate_hparams(Hparams(val_every_steps=2000))   # enabled: fine
+
     def test_cli_parse_rejects(self, capsys):
         with pytest.raises(ValueError, match="--fused_train"):
             get_opts(["--fused_train", "--batch_size", "1028",

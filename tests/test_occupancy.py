@@ -399,6 +399,34 @@ class TestGridCache:
                                   sigma_threshold=0.5, verbose=False)
         assert occ3.block_map.shape != occ1.block_map.shape
 
+    def test_stale_siblings_pruned_on_retrain(self, tmp_path):
+        """Per-key cache files embed the ckpt mtime, so a retrain makes
+        the old files permanently unmatchable — a rebuild prunes them
+        (else they accumulate unbounded) while KEEPING same-mtime
+        siblings (occ_N sweeps of the live checkpoint)."""
+        from nerf_pl_tpu.rendering import load_or_build_grid
+        import glob
+        import os
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(0), mcfg.nerf)
+        params["sigma"]["b"] = params["sigma"]["b"] + 50.0
+        ckpt = tmp_path / "model.ckpt"
+        ckpt.write_bytes(b"fake")
+        kw = dict(occ_range=(-1.0, 1.0), sigma_threshold=0.5, verbose=False)
+        load_or_build_grid(str(ckpt), params, mcfg, N=8, **kw)
+        load_or_build_grid(str(ckpt), params, mcfg, N=16, **kw)
+        pat = str(ckpt) + ".occ.*.npz"
+        assert len(glob.glob(pat)) == 2          # sweep siblings coexist
+        # retrain: same bytes, new mtime -> every old key is dead
+        os.utime(ckpt, ns=(os.stat(ckpt).st_atime_ns,
+                           os.stat(ckpt).st_mtime_ns + 1_000_000))
+        load_or_build_grid(str(ckpt), params, mcfg, N=8, **kw)
+        left = glob.glob(pat)
+        assert len(left) == 1                    # both stale files pruned
+        z = np.load(left[0], allow_pickle=False)
+        assert str(z["key"]).startswith(
+            f"{os.stat(ckpt).st_mtime_ns}:{os.stat(ckpt).st_size}:")
+
 
 class TestCulledMesh:
     def test_mesh_sharded_matches_single(self):
