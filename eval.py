@@ -46,6 +46,13 @@ def get_opts(argv=None):
                         help='sample linearly in disparity instead of depth')
     parser.add_argument('--chunk', type=int, default=32 * 1024,
                         help='rays per render tile')
+    parser.add_argument('--culled_chunk', type=int, default=None,
+                        help='BASE ray tile for the occupancy-culled '
+                             'renderer (default: the measured optimum, '
+                             'CulledRenderer.DEFAULT_CHUNK=8192 — smaller '
+                             'than --chunk because per-bucket tiles pad '
+                             'less tail; BENCH_NOTES round-5 base-tile '
+                             'sweep)')
 
     parser.add_argument('--ckpt_path', type=str, required=True,
                         help='trained checkpoint to render from')
@@ -214,7 +221,9 @@ def main(argv=None):
             mode=args.occ_mode, vis_rays=vis_rays)
         print(f"[occ] {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
-        cr = CulledRenderer(occ, rcfg, mcfg, chunk=min(args.chunk, 20480),
+        cr = CulledRenderer(occ, rcfg, mcfg,
+                            chunk=(args.culled_chunk
+                                   or CulledRenderer.DEFAULT_CHUNK),
                             tighten=(args.occ_tighten or args.occ_budgets
                                      or args.occ_segments > 0),
                             budgets=args.occ_budgets, mesh=mesh,

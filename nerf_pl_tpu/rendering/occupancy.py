@@ -810,8 +810,16 @@ class CulledRenderer:
 
     _BUCKET_FRACS = (0.25, 0.5, 1.0)   # sample fraction per span bucket
 
+    # Default base ray tile: measured optimum of the round-5 base-tile
+    # descent on the hard400 800x800 matrix (segments config, best-of-4:
+    # 40960 -> 1.045 s, 20480 -> 1.001, 10240 -> 0.946, 8192 -> 0.937,
+    # 5120 -> 1.09; docs/bench/render_matrix_hard400_costcap3_b*_r5.json).
+    # Smaller tiles pad less bucket tail; below ~8k the per-dispatch
+    # overhead wins.
+    DEFAULT_CHUNK = 8192
+
     def __init__(self, occ: OccupancyGrid, rcfg: RenderConfig,
-                 mcfg: ModelConfig = ModelConfig(), chunk: int = 20480,
+                 mcfg: ModelConfig = ModelConfig(), chunk: int = DEFAULT_CHUNK,
                  tighten: bool = False, tighten_margin: float = 0.05,
                  mesh=None, budgets: bool = False, segments: int = 0,
                  segment_dilate: int = 1,

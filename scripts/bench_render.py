@@ -43,10 +43,12 @@ def main(argv=None):
     parser.add_argument('--N_importance', type=int, default=64)
     parser.add_argument('--chunk', type=int, default=40960,
                         help='ray tile size for the dense renderer')
-    parser.add_argument('--culled_chunk', type=int, default=20480,
-                        help='BASE ray tile for the culled configs (every '
-                             'historical culled row ran at 20480 — an '
-                             'unconditional clamp until round 5; the '
+    parser.add_argument('--culled_chunk', type=int, default=8192,
+                        help='BASE ray tile for the culled configs '
+                             '(default: the measured round-5 optimum, '
+                             '= CulledRenderer.DEFAULT_CHUNK; every culled '
+                             'row before the round-5 sweep ran at 20480 — '
+                             'an unconditional clamp until then. The '
                              'cost-capped bucket tiles derive from this '
                              'base, so it is the sweep lever)')
     parser.add_argument('--ckpt_path', type=str, required=True)

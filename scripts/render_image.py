@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument('--N_importance', type=int, default=64)
     parser.add_argument('--use_disp', default=False, action='store_true')
     parser.add_argument('--chunk', type=int, default=32 * 1024)
+    parser.add_argument('--culled_chunk', type=int, default=None,
+                        help='BASE ray tile for the occupancy-culled path '
+                             '(default: CulledRenderer.DEFAULT_CHUNK=8192, '
+                             'the measured round-5 optimum)')
     parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--fused_mlp', default=False, action='store_true')
     parser.add_argument('--occ_grid', default=False, action='store_true',
@@ -126,7 +130,9 @@ def main(argv=None):
         print(f"occupancy grid: {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
               f"({time.perf_counter() - t0:.1f}s build/load)")
-        cr = CulledRenderer(occ, rcfg, mcfg, chunk=args.chunk,
+        cr = CulledRenderer(occ, rcfg, mcfg,
+                            chunk=(args.culled_chunk
+                                   or CulledRenderer.DEFAULT_CHUNK),
                             tighten=(args.occ_tighten or args.occ_budgets
                                      or args.occ_segments > 0),
                             budgets=args.occ_budgets,
