@@ -127,6 +127,46 @@ class TestRenderImageScript:
         assert os.path.exists(str(tmp_path / "depth_000.png"))
 
 
+class TestBenchRenderScript:
+    def test_matrix_fields_and_parity(self, scene, random_ckpt, tmp_path):
+        """The measurement harness itself: every matrix row carries the
+        fields the published BENCH_NOTES tables are built from, the
+        device-resident perturbed-ray timing path runs, and the plain
+        cull row (threshold -100 keeps every box, so zero rays are
+        dropped) reproduces the dense image bit-for-bit (psnr inf)."""
+        import json
+
+        from scripts import bench_render
+        out = str(tmp_path / "matrix.json")
+        bench_render.main([
+            "--root_dir", scene, "--dataset_name", "blender",
+            "--split", "test", "--idx", "0", "--img_wh", "20", "20",
+            "--N_samples", "8", "--N_importance", "4",
+            "--chunk", "128", "--culled_chunk", "128",
+            "--ckpt_path", random_ckpt,
+            "--occ_mode", "sigma", "--occ_threshold", "-100",
+            "--occ_N", "16", "--repeats", "2",
+            "--configs", "dense", "cull", "budgets", "segments",
+            "--json_out", out])
+        with open(out) as f:
+            m = json.load(f)
+        rows = {r["config"]: r for r in m["rows"]}
+        assert set(rows) == {"dense", "cull", "budgets", "segments"}
+        for r in m["rows"]:
+            assert len(r["secs_frame_all"]) == 2
+            assert r["secs_frame_best"] == r["secs_frame_all"][0] > 0
+            assert r["secs_frame_all"] == sorted(r["secs_frame_all"])
+            # blender test split carries GT: quality column must exist
+            assert np.isfinite(r["psnr_vs_gt"])
+        # every box occupied -> no ray culled -> cull == dense exactly
+        assert rows["cull"]["n_survivors"] == 400
+        assert rows["cull"]["psnr_vs_dense"] == float("inf")
+        # fully-occupied grid: segment placement degenerates to the dense
+        # sample ladder too (inf allowed; anything above 30 dB is parity)
+        assert rows["segments"]["psnr_vs_dense"] > 30
+        assert len(rows["budgets"]["bucket_counts"]) >= 1
+
+
 class TestPreviewBoundsScript:
     def test_slices_and_suggestion(self, random_ckpt, tmp_path):
         """extract_mesh.ipynb cells 2-5 equivalent: sigma-slice previews +
