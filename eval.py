@@ -221,9 +221,15 @@ def main(argv=None):
             mode=args.occ_mode, vis_rays=vis_rays)
         print(f"[occ] {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied")
+        # default base tile: the measured optimum, but never above --chunk
+        # (a user bounding working-set memory with --chunk keeps that bound
+        # on the culled path too); 0 is rejected by CulledRenderer, not
+        # silently coerced to the default.
         cr = CulledRenderer(occ, rcfg, mcfg,
                             chunk=(args.culled_chunk
-                                   or CulledRenderer.DEFAULT_CHUNK),
+                                   if args.culled_chunk is not None else
+                                   min(args.chunk,
+                                       CulledRenderer.DEFAULT_CHUNK)),
                             tighten=(args.occ_tighten or args.occ_budgets
                                      or args.occ_segments > 0),
                             budgets=args.occ_budgets, mesh=mesh,

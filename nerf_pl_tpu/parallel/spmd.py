@@ -625,18 +625,23 @@ class Trainer:
 
         jitted = jax.jit(smapped)
 
-        def render(params, rays: np.ndarray, key=None):
+        def render(params, rays, key=None):
             if key is None:
                 key = jax.random.PRNGKey(0)
             R = rays.shape[0]
             granularity = self.n_data * chunk
             pad = (-R) % granularity
-            rays_p = np.concatenate(
-                [rays, np.zeros((pad, 8), rays.dtype)], 0) if pad else rays
-            # pad rows: keep near<far to avoid degenerate z ranges
+            # Pad with jnp so device-resident rays STAY on device: an
+            # np.concatenate here would silently round-trip the whole ray
+            # array device->host->device inside callers' timed regions
+            # (~20 MB each way for an 800x800 frame — the exact tunnel
+            # asymmetry the device_out path exists to avoid). Host numpy
+            # input pays the same single upload it always did.
+            rays_p = jnp.asarray(rays)
             if pad:
-                rays_p[R:, 6] = 0.0
-                rays_p[R:, 7] = 1.0
+                # pad rows: keep near<far to avoid degenerate z ranges
+                pad_rows = jnp.zeros((pad, 8), rays_p.dtype).at[:, 7].set(1.0)
+                rays_p = jnp.concatenate([rays_p, pad_rows], 0)
             tiles = rays_p.reshape(-1, chunk, 8)
             out = jitted(params, tiles, key)
             if device_out:

@@ -550,13 +550,13 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
     for p in (path, grid_cache_path(ckpt_path)):
         if os.path.exists(p):
             try:
-                z = np.load(p, allow_pickle=False)
-                if str(z["key"]) == key:
-                    if verbose:
-                        print(f"[occ] loaded cached grid from {p}")
-                    return OccupancyGrid(boxes=z["boxes"],
-                                         block_map=z["block_map"],
-                                         lo=z["lo"], hi=z["hi"])
+                with np.load(p, allow_pickle=False) as z:
+                    if str(z["key"]) == key:
+                        if verbose:
+                            print(f"[occ] loaded cached grid from {p}")
+                        return OccupancyGrid(boxes=z["boxes"],
+                                             block_map=z["block_map"],
+                                             lo=z["lo"], hi=z["hi"])
             except (KeyError, ValueError, OSError):
                 pass
     if (occ_range is None or occ_range == "auto") and aabb is None:
@@ -580,12 +580,21 @@ def load_or_build_grid(ckpt_path: str, params: Dict,
     import glob
     st = os.stat(ckpt_path)
     live_prefix = f"{st.st_mtime_ns}:{st.st_size}:"
-    for p in glob.glob(ckpt_path + ".occ.*.npz"):
+    # glob.escape: checkpoint paths with glob metacharacters (e.g. an
+    # exp_name like 'sweep[lr]') must match literally — an unescaped
+    # pattern could match (and delete) OTHER checkpoints' caches.
+    # The legacy keyless file joins the sweep: its key staleness is
+    # judged the same way (kept only while its checkpoint is current).
+    stale_candidates = glob.glob(glob.escape(ckpt_path) + ".occ.*.npz")
+    legacy = grid_cache_path(ckpt_path)
+    if os.path.exists(legacy):
+        stale_candidates.append(legacy)
+    for p in stale_candidates:
         if os.path.abspath(p) == os.path.abspath(path):
             continue
         try:
-            stale = not str(np.load(p, allow_pickle=False)["key"]
-                            ).startswith(live_prefix)
+            with np.load(p, allow_pickle=False) as z:
+                stale = not str(z["key"]).startswith(live_prefix)
         except (KeyError, ValueError, OSError):
             stale = True
         if stale:
@@ -834,6 +843,9 @@ class CulledRenderer:
                              "computed over the tightened interval)")
         if not 0 <= segments <= 32:
             raise ValueError(f"segments={segments} must be in [0, 32]")
+        if chunk < 8:
+            raise ValueError(f"chunk={chunk} must be >= 8 (ray tiles are "
+                             "8-row-aligned; 0 does not mean 'default')")
         if bucket_fracs is not None:
             if not budgets:
                 raise ValueError("bucket_fracs is only meaningful with "
@@ -962,8 +974,7 @@ class CulledRenderer:
         smaller tiles (multiple of 8, floor 2048, never above the base
         chunk); cheap buckets keep full-size tiles."""
         c = chunk * self._TILE_COST_REF // max(self._bucket_cost(frac), 1)
-        c = max(min(chunk, -(-c // 8) * 8), 2048)
-        return min(c, chunk)
+        return min(chunk, max(-(-c // 8) * 8, 2048))
 
     def _make_tile_render(self, rcfg):
         """lax.map over fixed-size ray tiles, shard_mapped over the data

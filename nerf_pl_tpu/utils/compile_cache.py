@@ -24,21 +24,24 @@ DEFAULT_DIR = "~/.cache/nerf_pl_tpu/xla"
 def enable_compile_cache(path: Optional[str] = DEFAULT_DIR) -> Optional[str]:
     """Point JAX's persistent compilation cache at ``path``.
 
-    Call once per process before the first jit dispatch. ``path`` of
-    None/"" disables (each process recompiles from scratch). If the user
-    already set JAX_COMPILATION_CACHE_DIR in the environment, that wins
-    and this is a no-op. Returns the active cache dir (or None).
+    Call once per process before the first jit dispatch. If the user
+    set JAX_COMPILATION_CACHE_DIR in the environment, that ALWAYS wins
+    (including over ``path=""``) and this is a no-op. Otherwise ``path``
+    of None/"" disables (each process recompiles from scratch) — to
+    truly disable, the env var must also be unset. Returns the active
+    cache dir (or None when caching is off), so callers can report
+    which case they are in.
 
     JAX's own admission rules stay at their defaults (only programs
     whose compile took >= 1 s are persisted), which admits the fused
     train/render/eval programs while keeping tiny host utilities out of
     the cache.
     """
-    if not path:
-        return None
     env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if env:
         return env
+    if not path:
+        return None
     import jax
 
     p = os.path.abspath(os.path.expanduser(path))

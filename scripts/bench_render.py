@@ -163,7 +163,13 @@ def main(argv=None):
         img = np.clip(np.asarray(out[f'rgb_{typ}']).reshape(h, w, 3), 0, 1)
         if config == 'dense':
             dense_img = img
-        dts = []
+        # Tile-composition fingerprint of the compile-pass render: if a
+        # repeat's perturbed rays shift a survivor/bucket count across a
+        # tile boundary, a NEW bucket program compiles inside the timed
+        # region (minutes under the tunnel) — flag that repeat instead of
+        # silently publishing it as steady-state.
+        ref_rendered = stats_box.get(config, {}).get("n_rendered")
+        dts, drift = [], []
         for i in range(1, args.repeats + 1):
             r = jax.block_until_ready(rays_dev.at[:, :3].add(i * 1e-6))
             t0 = time.perf_counter()
@@ -176,8 +182,18 @@ def main(argv=None):
             # device (writing it out is I/O, benched separately by eval).
             jax.block_until_ready(o[f'rgb_{typ}'])
             dts.append(time.perf_counter() - t0)
+            if (ref_rendered is not None
+                    and stats_box[config]["n_rendered"] != ref_rendered):
+                drift.append(i)
+                print(f"[matrix] WARNING: repeat {i} of {config} changed "
+                      f"tile composition ({ref_rendered} -> "
+                      f"{stats_box[config]['n_rendered']} rendered rows) — "
+                      "its timing includes a fresh program compile",
+                      flush=True)
         row = {"config": config, "secs_frame_best": round(min(dts), 3),
                "secs_frame_all": [round(d, 3) for d in sorted(dts)]}
+        if drift:
+            row["tile_drift_repeats"] = drift
         if config in stats_box:
             st = stats_box[config]
             row["n_survivors"] = int(st["n_survivors"])

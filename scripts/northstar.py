@@ -45,18 +45,23 @@ def main(argv=None):
     cmd = [sys.executable, script] + args.train_args
     print(f"[northstar] launching: {' '.join(cmd)}", flush=True)
 
-    t0 = time.time()
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, bufsize=1)
-
     # `timeout`/Ctrl-C signal THIS process, not the train.py child — kill
     # the child (it holds the TPU; an orphan wedges every queued stage
     # behind it) and still write the partial artifact via the finally
     # below: everything collected so far is real threshold data.
+    # Handlers go in BEFORE Popen (no window where a signal takes the
+    # default action and orphans a just-spawned child), and are reset to
+    # SIG_IGN once cleanup starts so a second Ctrl-C / follow-up TERM
+    # can't re-raise inside the finally and skip the child kill or the
+    # partial-artifact write.
     def _terminate(signum, frame):
         raise SystemExit(128 + signum)
-    signal.signal(signal.SIGTERM, _terminate)
-    signal.signal(signal.SIGINT, _terminate)
+    prev = {s: signal.signal(s, _terminate)
+            for s in (signal.SIGTERM, signal.SIGINT)}
+
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, bufsize=1)
 
     epochs = []
     crossed = {}
@@ -66,6 +71,8 @@ def main(argv=None):
         _pump(proc, t0, epochs, crossed, args.thresholds)
         rc = proc.wait()
     finally:
+        for s in prev:
+            signal.signal(s, signal.SIG_IGN)
         if proc.poll() is None:
             proc.terminate()
             try:
@@ -74,6 +81,8 @@ def main(argv=None):
                 proc.kill()
         result = _write(args.json_out, cmd, rc, time.time() - t0,
                         epochs, crossed)
+        for s, h in prev.items():
+            signal.signal(s, h)
     return result
 
 

@@ -130,9 +130,13 @@ def main(argv=None):
         print(f"occupancy grid: {occ.n_boxes} boxes, "
               f"{occ.occupied_fraction * 100:.1f}% blocks occupied "
               f"({time.perf_counter() - t0:.1f}s build/load)")
+        # default base tile: the measured optimum, capped at --chunk (see
+        # eval.py); explicit 0 is rejected by CulledRenderer, not coerced
         cr = CulledRenderer(occ, rcfg, mcfg,
                             chunk=(args.culled_chunk
-                                   or CulledRenderer.DEFAULT_CHUNK),
+                                   if args.culled_chunk is not None else
+                                   min(args.chunk,
+                                       CulledRenderer.DEFAULT_CHUNK)),
                             tighten=(args.occ_tighten or args.occ_budgets
                                      or args.occ_segments > 0),
                             budgets=args.occ_budgets,

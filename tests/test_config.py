@@ -77,10 +77,18 @@ class TestCompileCache:
         import jax
         return jax.config.jax_compilation_cache_dir
 
-    def test_disabled_by_empty(self):
+    def test_disabled_by_empty(self, monkeypatch):
         from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
         assert enable_compile_cache("") is None
         assert enable_compile_cache(None) is None
+
+    def test_env_var_wins_even_over_empty(self, monkeypatch):
+        """The user's env var ALWAYS wins — a CLI passing --compile_cache ''
+        cannot silently disable a cache the user configured externally."""
+        from nerf_pl_tpu.utils.compile_cache import enable_compile_cache
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/env/cache")
+        assert enable_compile_cache("") == "/env/cache"
 
     def test_env_var_wins(self, tmp_path, monkeypatch):
         import jax

@@ -427,6 +427,55 @@ class TestGridCache:
         assert str(z["key"]).startswith(
             f"{os.stat(ckpt).st_mtime_ns}:{os.stat(ckpt).st_size}:")
 
+    def test_glob_metachar_ckpt_path_is_literal(self, tmp_path):
+        """A checkpoint named like 'sweep[lr].ckpt' must prune only ITS
+        cache files: an unescaped glob would expand '[lr]' to the
+        character class {l,r} and match (then delete) sweepl.ckpt's
+        caches."""
+        from nerf_pl_tpu.rendering import load_or_build_grid
+        import glob
+        import os
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(0), mcfg.nerf)
+        params["sigma"]["b"] = params["sigma"]["b"] + 50.0
+        kw = dict(occ_range=(-1.0, 1.0), sigma_threshold=0.5, verbose=False)
+        victim = tmp_path / "sweepl.ckpt"
+        victim.write_bytes(b"fake")
+        load_or_build_grid(str(victim), params, mcfg, N=8, **kw)
+        vcache = glob.glob(glob.escape(str(victim)) + ".occ.*.npz")
+        assert len(vcache) == 1
+        meta = tmp_path / "sweep[lr].ckpt"
+        meta.write_bytes(b"fake")
+        load_or_build_grid(str(meta), params, mcfg, N=8, **kw)
+        # retrain the metachar ckpt: its prune sweep runs with a live
+        # cache file of its own; the victim's cache must survive
+        os.utime(meta, ns=(os.stat(meta).st_atime_ns,
+                           os.stat(meta).st_mtime_ns + 1_000_000))
+        load_or_build_grid(str(meta), params, mcfg, N=8, **kw)
+        assert os.path.exists(vcache[0]), \
+            "sibling checkpoint's cache deleted by unescaped glob"
+        assert len(glob.glob(glob.escape(str(meta)) + ".occ.*.npz")) == 1
+
+    def test_legacy_keyless_cache_swept_when_stale(self, tmp_path):
+        """Pre-round-5 keyless cache files (ckpt + '.occ.npz') join the
+        staleness sweep: kept while their embedded key matches the live
+        checkpoint, deleted once a retrain orphans them."""
+        from nerf_pl_tpu.rendering import load_or_build_grid
+        from nerf_pl_tpu.rendering.occupancy import grid_cache_path
+        import os
+        mcfg = small_mcfg()
+        params = init_nerf_params(jax.random.PRNGKey(0), mcfg.nerf)
+        params["sigma"]["b"] = params["sigma"]["b"] + 50.0
+        kw = dict(occ_range=(-1.0, 1.0), sigma_threshold=0.5, verbose=False)
+        ckpt = tmp_path / "model.ckpt"
+        ckpt.write_bytes(b"fake")
+        legacy = grid_cache_path(str(ckpt))
+        np.savez(legacy, key="0:0:dead", boxes=np.zeros((1, 6), np.float32),
+                 block_map=np.zeros((2, 2, 2), bool),
+                 lo=np.zeros(3, np.float32), hi=np.ones(3, np.float32))
+        load_or_build_grid(str(ckpt), params, mcfg, N=8, **kw)
+        assert not os.path.exists(legacy), "stale legacy cache kept"
+
 
 class TestCulledMesh:
     def test_mesh_sharded_matches_single(self):
@@ -663,6 +712,13 @@ class TestBudgetedRenderer:
         with pytest.raises(ValueError, match="budgets"):
             CulledRenderer(occ, rcfg, mcfg, tighten=True,
                            bucket_fracs=(0.25, 0.5, 1.0))
+
+    def test_chunk_floor_rejected(self):
+        """chunk=0 must be an error, not silently coerced to a default
+        (ray tiles are 8-row-aligned; CLIs translate 'unset' themselves)."""
+        mcfg, params, occ, rays, rcfg = self._setup()
+        with pytest.raises(ValueError, match="chunk"):
+            CulledRenderer(occ, rcfg, mcfg, chunk=0, tighten=True)
 
     def test_bucket_fracs_deduplicated(self):
         """Duplicate fracs would create permanently-empty buckets; the

@@ -263,6 +263,27 @@ class TestShardedRender:
         np.testing.assert_allclose(out["rgb_coarse"],
                                    np.asarray(direct["rgb_coarse"]), atol=1e-5)
 
+    def test_render_device_resident_rays(self):
+        """Device-resident rays with device_out=True must round-trip
+        nowhere: a jnp input (non-divisible R, so the pad path runs on
+        device too) returns jax arrays numerically equal to the
+        host-numpy path. This is the contract bench_render's timed loop
+        relies on — an np.concatenate in the pad path would silently
+        charge a device->host->device transfer per frame."""
+        mesh = make_mesh()
+        tr = make_trainer(mesh)
+        tr.set_data(*make_data())
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rcfg = RenderConfig(N_samples=8)
+        rays, _ = make_data(700)  # not divisible by 8*chunk -> pads
+        host = tr.render_fn(rcfg, chunk=32)(state.params, rays)
+        dev_render = tr.render_fn(rcfg, chunk=32, device_out=True)
+        out = dev_render(state.params, jnp.asarray(rays))
+        assert isinstance(out["rgb_coarse"], jax.Array)
+        assert not isinstance(host["rgb_coarse"], jax.Array)
+        np.testing.assert_allclose(np.asarray(out["rgb_coarse"]),
+                                   host["rgb_coarse"], atol=1e-6)
+
     def test_render_test_time(self):
         mesh = make_mesh()
         tr = make_trainer(mesh, N_importance=4)
